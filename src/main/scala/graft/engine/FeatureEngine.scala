@@ -1,0 +1,263 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.asof.AsOfJoin
+import graft.registry.FeatureRegistry
+import graft.spec._
+
+/** The engine: spec → compiled Catalyst plans → point-in-time retrieval.
+  *
+  * Lifecycle mirrors the reference's three entry points (SURVEY.md §3):
+  *  - EP1 `applyConfig` — entities + data sources from an engine config
+  *    (reference: SousChef.__init__/_init_data_sources, sous_chef.py:
+  *    47-160), minus Feast: specs land in [[FeatureRegistry]].
+  *  - EP2 `createFromYaml` — YAML spec → validation → FeatureView/Service
+  *    specs (reference: create_from_yaml, sous_chef.py:167-260) with the
+  *    same error-message contract.
+  *  - EP3 `retrieve` — probe rows × feature service → one backward as-of
+  *    join per member view, column-union of outputs (reference:
+  *    get_historical_features, customer_metrics.py:127-130). All Spark;
+  *    the TTL bound comes from each view's `ttl_days`.
+  */
+class FeatureEngine(
+    val spark: SparkSession,
+    val registry: FeatureRegistry = new FeatureRegistry,
+    val metadataRules: MetadataRules = ConfigValidator.DefaultRules) {
+
+  // ------------------------------------------------------------- EP1
+  /** Register entities + data sources from an engine config map
+    * (YAML shape: tests/fixtures/config/feast_config.yaml). */
+  def applyConfig(config: Map[String, Any]): Unit = {
+    config.get("entities").foreach {
+      case es: Seq[_] =>
+        es.foreach { case e: Map[_, _] =>
+          val m = e.asInstanceOf[Map[String, Any]]
+          registry.applyEntity(EntitySpec(
+            name = String.valueOf(m("name")),
+            joinKey = String.valueOf(m("join_key")),
+            description = m.get("description").map(String.valueOf(_)).getOrElse("")))
+        }
+      case _ =>
+    }
+    config.get("data_sources").foreach {
+      case ds: Map[_, _] =>
+        ds.asInstanceOf[Map[String, Any]].foreach { case (name, cfg: Map[_, _]) =>
+          val m = cfg.asInstanceOf[Map[String, Any]]
+          val sourceType = m.get("type").map(String.valueOf(_)).getOrElse("file").toLowerCase
+          if (!SourceSpec.SupportedTypes.contains(sourceType))
+            throw new IllegalArgumentException(
+              s"Source type '$sourceType' is not supported. " +
+                s"Available types: ${SourceSpec.SupportedTypes.mkString("['", "', '", "']")}")
+          val params = SourceSpec.filterParams(
+            sourceType,
+            (m - "type").map { case (k, v) => k -> String.valueOf(v) })
+          registry.applySource(SourceSpec(name, sourceType, params))
+        }
+      case _ =>
+    }
+  }
+
+  // ------------------------------------------------------------- EP2
+  /** YAML spec text → validated + registered view/service specs.
+    * Error-message contract matches the reference (sous_chef.py:167-260).
+    */
+  def createFromYamlText(
+      yamlText: String,
+      applyToRegistry: Boolean = true,
+      dryRun: Boolean = false): Map[String, Product] = {
+    val config = YamlLoader.loadMap(yamlText)
+    if (!config.contains("feature_views"))
+      throw new IllegalArgumentException("No feature_views section found in YAML")
+
+    val errors = new ConfigValidator(metadataRules).validate(config)
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        "Configuration validation failed:\n" + errors.mkString("\n"))
+
+    val viewSpecs = scala.collection.mutable.LinkedHashMap[String, FeatureViewSpec]()
+    config("feature_views").asInstanceOf[Map[String, Any]].foreach {
+      case (name, spec: Map[_, _]) =>
+        val m = spec.asInstanceOf[Map[String, Any]]
+        val sourceName = String.valueOf(m("source_name"))
+        if (registry.getSource(sourceName).isEmpty)
+          throw new IllegalArgumentException(s"Data source '$sourceName' not found")
+        val entityNames = m("entities").asInstanceOf[Seq[_]].map(String.valueOf(_))
+        entityNames.foreach { en =>
+          if (registry.getEntity(en).isEmpty)
+            throw new IllegalArgumentException(s"Entity '$en' not found")
+        }
+        val schema = m("schema").asInstanceOf[Seq[_]].map { case f: Map[_, _] =>
+          val fm = f.asInstanceOf[Map[String, Any]]
+          val dtype = String.valueOf(fm("dtype"))
+          if (!FieldSpec.ValidDtypes.contains(dtype))
+            throw new NoSuchElementException(s"key not found: $dtype")
+          FieldSpec(
+            String.valueOf(fm("name")), dtype,
+            fm.get("tags").map(YamlLoader.asStringMap).getOrElse(Map.empty))
+        }
+        viewSpecs(name) = FeatureViewSpec(
+          name = name,
+          sourceName = sourceName,
+          entities = entityNames,
+          ttlDays = m.get("ttl_days").map(String.valueOf(_).toInt).getOrElse(1),
+          schema = schema,
+          tags = m.get("tags").map(YamlLoader.asStringMap).getOrElse(Map.empty))
+      case _ =>
+    }
+
+    val created = scala.collection.mutable.LinkedHashMap[String, Product]()
+    viewSpecs.foreach { case (k, v) => created(k) = v }
+
+    config.get("feature_services").foreach { case svcs: Map[_, _] =>
+      svcs.asInstanceOf[Map[String, Any]].foreach { case (name, spec: Map[_, _]) =>
+        val m = spec.asInstanceOf[Map[String, Any]]
+        val members = m("features").asInstanceOf[Seq[_]].map(String.valueOf(_))
+        members.foreach { vn =>
+          if (!viewSpecs.contains(vn))
+            throw new IllegalArgumentException(s"Feature view '$vn' not found")
+        }
+        created(name) = FeatureServiceSpec(
+          name = name,
+          features = members,
+          description = m.get("description").map(String.valueOf(_)).getOrElse(""),
+          tags = m.get("tags").map(YamlLoader.asStringMap).getOrElse(Map.empty))
+      }
+    }
+
+    if (applyToRegistry && !dryRun) {
+      created.values.foreach {
+        case v: FeatureViewSpec    => registry.applyView(v)
+        case s: FeatureServiceSpec => registry.applyService(s)
+        case _                     =>
+      }
+    }
+    created.toMap
+  }
+
+  def createFromYamlFile(
+      path: String,
+      applyToRegistry: Boolean = true,
+      dryRun: Boolean = false): Map[String, Product] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      throw new java.io.FileNotFoundException(s"Config file not found: $path")
+    createFromYamlText(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8),
+      applyToRegistry, dryRun)
+  }
+
+  // --------------------------------------------------------- compile
+  /** Source spec → DataFrame. Parquet is the sandbox physical format;
+    * `spark` sources take a catalog table or SQL query (SURVEY §2.1
+    * S1-S3). */
+  def sourceDF(src: SourceSpec): DataFrame = src.sourceType match {
+    case "file" =>
+      spark.read.parquet(src.path.getOrElse(
+        throw new IllegalArgumentException(s"file source '${src.name}' needs a path")))
+    case "spark" =>
+      src.query.map(spark.sql)
+        .orElse(src.table.map(spark.table))
+        .orElse(src.path.map(spark.read.parquet(_)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"spark source '${src.name}' needs query, table or path"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"Source type '$other' has no batch compilation (streaming/online only)")
+  }
+
+  /** Canonical Spark type for a spec dtype — compute in DOUBLE, cast
+    * FLOAT only at the serving boundary (SURVEY §1.2). */
+  private def specType(dtype: String): String = dtype match {
+    case "INT64" => "long"
+    case "FLOAT" => "double"
+    case _       => "string"
+  }
+
+  /** Compile a feature view to its unexecuted DataFrame: entity keys +
+    * event time + declared features, dtypes normalized. Projection is
+    * pushed to the scan by Catalyst (only spec'd columns are read). */
+  def compileView(view: FeatureViewSpec): DataFrame = {
+    val src = registry.getSource(view.sourceName).getOrElse(
+      throw new IllegalArgumentException(s"Data source '${view.sourceName}' not found"))
+    val tsField = src.timestampField.getOrElse(
+      throw new IllegalArgumentException(
+        s"Source '${src.name}' has no timestamp_field"))
+    val df = sourceDF(src)
+    val keyCols = view.entities.map { en =>
+      registry.getEntity(en).getOrElse(
+        throw new IllegalArgumentException(s"Entity '$en' not found")).joinKey
+    }
+    val errors = CatalystInference.reconcile(
+      view.schema,
+      df.select((keyCols :+ tsField).map(col) ++ view.schema.map(f => col(f.name)): _*).schema)
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        "Schema reconciliation failed:\n" + errors.mkString("\n"))
+    df.select(
+      keyCols.map(col) ++
+        Seq(col(tsField).cast("timestamp").as("event_timestamp")) ++
+        view.schema.map(f => col(f.name).cast(specType(f.dtype)).as(f.name)): _*)
+  }
+
+  // ------------------------------------------------------------- EP3
+  /** Point-in-time retrieval: one backward as-of join per member view of
+    * the service; output = probe columns + each view's features (nulls
+    * where no in-TTL row exists).
+    *
+    * @param probe DataFrame with each view's entity join keys and an
+    *              `event_timestamp` column (Feast entity_df convention)
+    * @param fullFeatureNames prefix features `viewName__feature`
+    */
+  def retrieve(
+      probe: DataFrame,
+      serviceName: String,
+      fullFeatureNames: Boolean = false): DataFrame = {
+    val service = registry.getService(serviceName).getOrElse(
+      throw new IllegalArgumentException(s"Feature service '$serviceName' not found"))
+    service.features.foldLeft(probe) { (acc, viewName) =>
+      retrieveView(acc, viewName, fullFeatureNames)
+    }
+  }
+
+  /** Single-view point-in-time retrieval (used by retrieve and directly
+    * testable). */
+  def retrieveView(
+      probe: DataFrame,
+      viewName: String,
+      fullFeatureNames: Boolean = false): DataFrame = {
+    val view = registry.getView(viewName).getOrElse(
+      throw new IllegalArgumentException(s"Feature view '$viewName' not found"))
+    val compiled = compileView(view)
+    val keyCols = view.entities.map { en => registry.getEntity(en).get.joinKey }
+    val feats =
+      if (fullFeatureNames)
+        compiled.select(
+          (keyCols :+ "event_timestamp").map(col) ++
+            view.schema.map(f => col(f.name).as(s"${view.name}__${f.name}")): _*)
+      else compiled
+    AsOfJoin.backward(
+      probe, feats.withColumnRenamed("event_timestamp", "_feat_ts"),
+      keys = keyCols,
+      probeTsCol = "event_timestamp",
+      featTsCol = "_feat_ts",
+      ttlSeconds = Some(view.ttlSeconds),
+      matchedTsName = s"_matched_ts_${view.name}")
+      .drop(s"_matched_ts_${view.name}")
+  }
+
+  /** "Materialize latest per key" — the online-store write shape
+    * (SURVEY §2.1 S5): ROW_NUMBER()=1 over key ordered by ts desc. */
+  def materializeLatest(viewName: String): DataFrame = {
+    val view = registry.getView(viewName).getOrElse(
+      throw new IllegalArgumentException(s"Feature view '$viewName' not found"))
+    val compiled = compileView(view)
+    val keyCols = view.entities.map(en => registry.getEntity(en).get.joinKey)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("event_timestamp").desc)
+    compiled.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}
