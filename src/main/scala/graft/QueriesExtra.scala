@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline + remaining SQL-surface queries (SURVEY §2
+  * W4/F6-F11 and the dedup / similarity / text-analysis operator set).
+  * Same oracle conventions as [[Queries]].
+  */
+object QueriesExtra {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------- W4
+  /** FIRST_VALUE / LAST_VALUE with the full-frame pin (SURVEY §2.4 W4;
+    * test_snowflake_sources.py:14-15). */
+  def q16FirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("first_val", first(col("value")).over(w))
+      .withColumn("last_val", last(col("value")).over(full))
+      .drop("ts", "value")
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, event_id,
+      | FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS first_val,
+      | LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------ F6-F11
+  /** Date/time scalar functions (SURVEY §2.6 F6/F7/F8/F9/F10/F11). */
+  def q17DateFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        add_months(to_date(col("ts")), -6).as("six_months_ago"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since_jan1"),
+        date_trunc("day", col("ts")).as("day_start"),
+        month(col("ts")).cast("long").as("ts_month"),
+        (to_date(col("ts")) + expr("INTERVAL 1 DAY")).cast("date").as("next_day"))
+
+  val q17Sql: String =
+    """SELECT event_id,
+      | CAST(ts AS DATE) - INTERVAL 6 MONTH AS six_months_ago,
+      | date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_jan1,
+      | date_trunc('day', ts) AS day_start,
+      | CAST(EXTRACT(month FROM ts) AS BIGINT) AS ts_month,
+      | CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE) AS next_day
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------- text quality
+  /** Token counts, mean word length, stopword ratio per doc (text
+    * analysis operator over the documents table). */
+  def q18TextQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val low = split(lower(col("text")), " ", -1)
+    val stops = Seq("the", "a", "table", "row", "value")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("tokens"),
+        round(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+            / size(toks), 6).as("avg_word_len"),
+        round(
+          size(filter(low, x => x.isInCollection(stops))).cast("double")
+            / size(low), 6).as("stop_ratio"))
+  }
+
+  val q18Sql: String =
+    """SELECT doc_id,
+      | CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tokens,
+      | ROUND(CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+      |     x -> LEN(x))) AS DOUBLE)
+      |   / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_word_len,
+      | ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |     x -> x IN ('the', 'a', 'table', 'row', 'value'))) AS DOUBLE)
+      |   / LEN(STRING_SPLIT(LOWER(text), ' ')), 6) AS stop_ratio
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ lang id
+  /** Marker-wordlist language ID (argmax, alphabetical tie-break). */
+  def q19LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted_lang"))
+
+  val q19Sql: String = {
+    val m = TextAnalysis.DefaultLangMarkers.toSeq.sortBy(_._1)
+    val scores = m.map { case (lang, words) =>
+      s"LEN(LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ' '), " +
+        s"x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+    }.mkString(",\n   ")
+    val langs = m.map(_._1)
+    val greatest = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |   $scores
+       |  FROM documents),
+       | mx AS (SELECT *, $greatest AS m FROM sc)
+       |SELECT doc_id, lang, CASE $cases END AS predicted_lang FROM mx""".stripMargin
+  }
+
+  // ----------------------------------------------------- exact dedup
+  /** md5-fingerprint exact-dedup groups (canonical id + count). */
+  def q20FingerprintDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+
+  val q20Sql: String =
+    """SELECT md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint,
+      | MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------- near-dup (exact oracle)
+  /** Exact 3-gram Jaccard near-dup pairs over a bounded slice of the
+    * corpus plus deterministic mutated copies (drop-last-2-words), so
+    * true near-duplicates exist at every SF. Bounded input (250+250
+    * docs) keeps the all-pairs oracle O(1) w.r.t. SF; the scale path is
+    * [[q22MinhashCandidates]]. */
+  def q21NeardupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ", -1)
+    val mutated = base.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"))
+    val all = base.unionByName(mutated)
+    Dedup.ngramJaccardExact(all, "text", "doc_id", shingleWidth = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val q21Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+      | mutated AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |   array_to_string(string_split(text, ' ')[1:GREATEST(LEN(string_split(text,' '))-2, 1)], ' ') AS text
+      |  FROM base),
+      | all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mutated),
+      | sh AS (
+      |  SELECT doc_id,
+      |   CASE WHEN LEN(string_split(LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g')), ' ')) < 3
+      |        THEN [LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g'))]
+      |        ELSE list_distinct(list_transform(
+      |          range(0, LEN(string_split(LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g')), ' ')) - 2),
+      |          i -> array_to_string(string_split(LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g')), ' ')[i+1:i+3], ' ')))
+      |   END AS grams
+      |  FROM all_docs),
+      | pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |     / LEN(list_distinct(list_concat(a.grams, b.grams))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin
+
+  // ------------------------------------------- minhash LSH (scale path)
+  /** MinHash+LSH near-dup pairs over the full corpus + mutated copies —
+    * the O(N) banding path. Probabilistic recall → rows-only driver
+    * check; recall vs the exact oracle is asserted in DedupSpec. */
+  def q22MinhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ", -1)
+    val mutated = base.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"))
+    Dedup.minhashLsh(base.unionByName(mutated), "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // --------------------------------------------------------- brute kNN
+  /** Exact cosine top-k (k=5) for the first 10 vectors — ANN baseline. */
+  def q23KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val q23Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      | c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+      | s AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |   list_sum(list_transform(range(1, LEN(qv)+1),
+      |     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+      |   / (sqrt(list_sum(list_transform(range(1, LEN(qv)+1),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(range(1, LEN(cv)+1),
+      |        i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cosine
+      |  FROM q, c),
+      | r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |   ROW_NUMBER() OVER (PARTITION BY query_id
+      |     ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM s)
+      |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF approximate top-k — the scale path (probes nProbe/nCentroids of
+    * the corpus). Approximate by construction → rows-only check; recall
+    * vs brute force asserted in SimilaritySpec. */
+  def q24KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4, dim = 64)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  // ----------------------------------------------------------- simhash
+  /** SimHash near-dup pairs over corpus + mutated copies (rows-only:
+    * xxhash64 is engine-specific; semantics asserted in DedupSpec). */
+  def q25Simhash(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ", -1)
+    val mutated = base.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1)))).as("text"))
+    Dedup.simhashPairs(base.unionByName(mutated), "text", "doc_id", maxDist = 6)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_first_last" -> (q16FirstLast _),
+    "q17_date_functions" -> (q17DateFunctions _),
+    "q18_text_quality" -> (q18TextQuality _),
+    "q19_langid" -> (q19LangId _),
+    "q20_fingerprint_dedup" -> (q20FingerprintDedup _),
+    "q21_neardup_jaccard" -> (q21NeardupJaccard _),
+    "q22_minhash_candidates" -> (q22MinhashCandidates _),
+    "q23_knn_brute" -> (q23KnnBrute _),
+    "q24_knn_ivf" -> (q24KnnIvf _),
+    "q25_simhash" -> (q25Simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_first_last" -> q16Sql,
+    "q17_date_functions" -> q17Sql,
+    "q18_text_quality" -> q18Sql,
+    "q19_langid" -> q19Sql,
+    "q20_fingerprint_dedup" -> q20Sql,
+    "q21_neardup_jaccard" -> q21Sql,
+    "q23_knn_brute" -> q23Sql)
+}

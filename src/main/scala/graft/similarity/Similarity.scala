@@ -1,0 +1,154 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set against the corpus; one scan of the corpus, no corpus
+  *    shuffle. The correctness baseline.
+  *  - [[ivfTopK]] — IVF-style scale path: corpus is bucketed by nearest
+  *    centroid (one-pass assignment against broadcast centroids); a
+  *    query probes only its `nProbe` nearest centroid buckets, cutting
+  *    scanned rows to ~nProbe/nCentroids of the corpus. Centroids are
+  *    chosen deterministically (hash-sampled corpus vectors), then
+  *    refined with one Lloyd iteration — all DataFrame aggregations.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Exact cosine top-k per query.
+    *
+    * @param queries (queryIdCol, vecCol) — assumed small; broadcast
+    * @param corpus  (idCol, vecCol) — scanned once, never shuffled except
+    *                the final per-query top-k (k rows per query survive
+    *                the map-side partial top-k)
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", Dedup.cosineSim(col("_qv"), col("_cv")))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic centroids: hash-sample `n` corpus vectors, then one
+    * Lloyd refinement step (mean of assigned vectors). */
+  def centroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n: Int,
+      dim: Int): DataFrame = {
+    val seeds = corpus
+      .withColumn("_r", pmod(xxhash64(col(idCol)), lit(1000000)))
+      .orderBy(col("_r"), col(idCol))
+      .limit(n)
+      .select(
+        (row_number().over(Window.orderBy(col("_r"), col(idCol))) - 1).as("centroid_id"),
+        col(vecCol).as("_ctr"))
+    // one Lloyd iteration: assign to nearest seed, mean per cluster
+    val assigned = assign(corpus, seeds, idCol, vecCol)
+    val refined = assigned
+      .groupBy(col("centroid_id"))
+      .agg(collectMean(vecCol, dim).as("_ctr"))
+    refined
+  }
+
+  /** Element-wise mean of an array column (dim known). */
+  private def collectMean(vecCol: String, dim: Int): Column = {
+    val sums = aggregate(
+      collect_list(col(vecCol)),
+      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
+    transform(sums, s => (s / size(collect_list(col(vecCol)))).cast("float"))
+  }
+
+  /** Assign each corpus row to its nearest centroid (broadcast). */
+  def assign(
+      corpus: DataFrame,
+      ctrs: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val withAll = corpus.crossJoin(broadcast(
+      ctrs.groupBy().agg(collect_list(struct(col("centroid_id"), col("_ctr"))).as("_all"))))
+    withAll
+      .withColumn("_best",
+        aggregate(
+          col("_all"),
+          struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cid")),
+          (best, c) => {
+            val s = Dedup.cosineSim(col(vecCol), c.getField("_ctr"))
+            when(s > best.getField("sim"),
+              struct(s.as("sim"), c.getField("centroid_id").cast("long").as("cid")))
+              .otherwise(best)
+          }))
+      .withColumn("centroid_id", col("_best").getField("cid"))
+      .drop("_all", "_best")
+  }
+
+  /** IVF top-k: probe only the `nProbe` nearest centroid buckets per
+    * query. Recall < 1 by construction; pair with [[bruteForceTopK]] as
+    * the audit oracle. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val ctrs = centroids(corpus, idCol, vecCol, nCentroids, dim).cache()
+    val bucketed = assign(corpus, ctrs, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+
+    // per-query probe list: nProbe nearest centroids
+    val qAssigned = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(
+        ctrs.groupBy().agg(collect_list(struct(col("centroid_id"), col("_ctr"))).as("_all"))))
+      .withColumn("_probes",
+        slice(
+          transform(
+            array_sort(transform(col("_all"), c =>
+              struct((-Dedup.cosineSim(col("_qv"), c.getField("_ctr"))).as("negSim"),
+                c.getField("centroid_id").cast("long").as("cid")))),
+            s => s.getField("cid")),
+          1, nProbe))
+      .select(col("query_id"), col("_qv"), explode(col("_probes")).as("centroid_id"))
+
+    val scored = bucketed.join(qAssigned, Seq("centroid_id"))
+      .withColumn("cosine", Dedup.cosineSim(col("_qv"), col("_cv")))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

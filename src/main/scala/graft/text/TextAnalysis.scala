@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * Everything is Spark built-ins (codegen'd, no UDFs) so the whole stage
+  * stays inside WholeStageCodegen at 100 TB scan scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (single-space tokenizer matches the DuckDB
+    * oracle exactly; use [[tokenCountRegex]] for multi-whitespace). */
+  def tokenCount(text: Column): Column = size(split(text, " ", -1))
+
+  /** Regex token count over arbitrary whitespace runs. */
+  def tokenCountRegex(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count approximation: words + digit runs +
+    * punctuation marks counted separately (a cheap stand-in for a real
+    * tokenizer's token count, linear scan, no vocabulary). */
+  def subwordCountApprox(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) +
+      size(filter(split(text, "[^0-9]+", -1), x => length(x) > 0))
+
+  /** Punctuation ratio: punct chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text))
+
+  /** Mean word length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+  }
+
+  /** Stopword hit ratio against a wordlist (default: English). */
+  def stopwordRatio(
+      text: Column,
+      stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Composite quality score ∈ [0,1]: length band + low punctuation +
+    * stopword presence (heuristics standard in pretraining-data filters).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCountRegex(text)
+    val lengthOk = when(toks.between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lengthOk + punctOk + stopOk) / 3.0, 6)
+  }
+
+  /** n-gram marker-wordlist language ID: score each candidate language
+    * by marker-token hits, pick the argmax (ties → lexicographic). A
+    * standard cheap heuristic; markers are configurable.
+    */
+  def langId(
+      text: Column,
+      markers: Map[String, Seq[String]] = DefaultLangMarkers): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, then reverse-lexicographic lang so ties pick the
+    // alphabetically FIRST language deterministically)
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  val DefaultLangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "con"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Deterministic document fingerprint (md5 of normalized text) — the
+    * exact-dedup key. md5 is identical across engines, so oracles hold.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit rolling-style content hash (xxhash64 of normalized text) —
+    * cheaper than md5 when cross-engine comparability isn't needed. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

@@ -1,0 +1,88 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // base corpus: distinct sentences + near-duplicate mutations + exact dups
+  private lazy val docs = {
+    val rng = new scala.util.Random(13)
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau".split(" ")
+    val base = (0 until 60).map { i =>
+      val words = Array.fill(20 + rng.nextInt(20))(vocab(rng.nextInt(vocab.length)))
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = base.take(15).map { case (id, text) =>
+      (id + 1000L, text.split(" ").dropRight(2).mkString(" ")) // drop last 2 words
+    }
+    val exactDups = base.take(5).map { case (id, text) =>
+      (id + 2000L, "  " + text.toUpperCase + " ") // same after normalization
+    }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: normalization-equal rows collapse to the min id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() === 75) // 80 - 5 exact dups
+    // canonical ids are the originals (0..4), not the 2000+ copies
+    val kept = out.select($"doc_id").as[Long].collect().toSet
+    assert((0L until 5L).forall(kept.contains))
+    assert(!(2000L until 2005L).exists(kept.contains))
+
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter($"dup_count" > 1)
+    assert(groups.count() === 5)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs with no sub-threshold pairs") {
+    val exact = Dedup.ngramJaccardExact(docs, "text", "doc_id", threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id",
+      numHashes = 32, bands = 8, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    // verification step guarantees zero false positives
+    assert(lsh.subsetOf(exact))
+    // planted pairs: (i, i+1000) for long-enough docs — exact finds them
+    assert(exact.count { case (a, b) => b - a == 1000 || b - a == 2000 } >= 10)
+    // recall of banding: ≥ 90% of truly-similar pairs
+    assert(lsh.size >= (exact.size * 0.9).toInt, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash: identical text → distance 0; mutated → small; pairs found") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (4L, "completely different words nothing shared here at all whatsoever truly")
+    ).toDF("doc_id", "text")
+    val sh = d.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) < 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 16)
+
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("embedding near-dup: identical and near-identical vectors found, orthogonal not") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f, 0.0f)), // cosine ~1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal
+      (4L, Array(1.0f, 0.0f, 0.0f, 0.0f))     // exact dup of 1
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "embedding", "vec_id",
+      dim = 4, nPlanes = 8, threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}
