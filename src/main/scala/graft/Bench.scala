@@ -1,24 +1,80 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.asof.AsOfJoin
+import graft.core.GraftSession
+import graft.datagen.TranscriptGen
+import graft.features.TranscriptFeatures
+
+/** Benchmark main (driver contract): prints ONE JSON line
+  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Headline metrics (BASELINE.json): feature-materialization throughput
+  * (turns/sec) and as-of join latency over a synthesized transcript
+  * table scaled to the SF of `SPARK_GRAFT_SF_DIR`, plus per-query
+  * seconds for every SparkEntry query at that SF. Parallelism comes
+  * from `SPARK_GRAFT_CPUS` — run at 8 and 32 for the two-cluster-size
+  * scaling evidence (BASELINE.md).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus, "graft-bench")
+    import spark.implicits._
+
+    // ---- transcript workload scaled to SF (sf0.1 → ~500k turns) ----
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nConvs = math.max(200, (sf * 200000).toInt)
+    val turnsPath = s"/tmp/graft_bench_turns_sf$sf.parquet"
+    if (!new java.io.File(turnsPath).exists()) {
+      TranscriptGen.turns(spark, nConvs, avgTurns = 25, hotConvs = 5,
+        hotFactor = 50, seed = 42L).toDF()
+        .write.mode("overwrite").parquet(turnsPath)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val turns = spark.read.parquet(turnsPath)
+    val nTurns = turns.count()
+
+    // feature materialization: cumulative point-in-time features, written out
+    val matPath = s"/tmp/graft_bench_mat_sf${sf}_c$cpus"
+    val t0 = System.nanoTime()
+    TranscriptFeatures.cumulativeTurnFeatures(turns)
+      .write.mode("overwrite").parquet(matPath)
+    val matSec = (System.nanoTime() - t0) / 1e9
+    val turnsPerSec = nTurns / matSec
+
+    // as-of retrieval latency: 4 probes/conversation against the features
+    val feats = spark.read.parquet(matPath)
+      .select("conv_id", "ts", "turn_idx", "turns_so_far", "tokens_so_far",
+        "tool_rate_so_far")
+    val probes = TranscriptGen.probes(spark,
+      turns.as[graft.features.Turn]).withColumnRenamed("ts", "probe_ts")
+    val t1 = System.nanoTime()
+    val nOut = AsOfJoin.backward(probes, feats, Seq("conv_id"), "probe_ts", "ts",
+      Some(30L * 86400L), Seq("turn_idx")).count()
+    val asofSec = (System.nanoTime() - t1) / 1e9
+
+    // ---- per-query loop over the driver testdata SF ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      name -> (System.nanoTime() - q0) / 1e9
+    }
+
+    val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + matSec + asofSec
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +
+      s""""sf":"$sfDir","cpus":$cpus,"transcript_turns":$nTurns,""" +
+      s""""materialize_sec":${f"$matSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.0f"},""" +
+      s""""asof_sec":${f"$asofSec%.3f"},"asof_rows":$nOut}""")
     spark.stop()
   }
 }

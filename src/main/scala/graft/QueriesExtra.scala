@@ -66,7 +66,7 @@ object QueriesExtra {
     val toks = split(col("text"), " ", -1)
     val low = split(lower(col("text")), " ", -1)
     val stops = Seq("the", "a", "table", "row", "value")
-    t(s, dir, "documents")
+    Dedup.spread(t(s, dir, "documents"))
       .select(
         col("doc_id"),
         size(toks).cast("long").as("tokens"),
@@ -92,7 +92,7 @@ object QueriesExtra {
   // ------------------------------------------------------------ lang id
   /** Marker-wordlist language ID (argmax, alphabetical tie-break). */
   def q19LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Dedup.spread(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted_lang"))
 
@@ -232,7 +232,8 @@ object QueriesExtra {
     val mutated = base.select(
       (col("doc_id") + 100000L).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1)))).as("text"))
-    Dedup.simhashPairs(base.unionByName(mutated), "text", "doc_id", maxDist = 6)
+    // maxDist 3 = the guarantee bound of 4-band/16-bit blocking
+    Dedup.simhashPairs(base.unionByName(mutated), "text", "doc_id", maxDist = 3)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

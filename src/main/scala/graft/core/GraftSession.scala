@@ -15,8 +15,22 @@ object GraftSession {
   def builder(appName: String = "graft"): SparkSession.Builder =
     configure(SparkSession.builder().appName(appName))
 
+  /** Shuffle/spill scratch on tmpfs when available: local[] mode on a
+    * single box is otherwise bottlenecked by VM-disk bandwidth, which
+    * flattens core-count scaling (on a real cluster this is the
+    * NVMe-backed spark.local.dir of each executor). */
+  private def localDir: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-spark-local")
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
   def configure(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.session.timeZone", "UTC")
+    localDir.fold(b)(d => b.config("spark.local.dir", d))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       // read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP, not NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -17,6 +17,15 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Compute-heavy ops must not inherit a tiny split count from a small
+    * parquet file: below half the cluster's parallelism, round-robin
+    * repartition first (one cheap pass; a no-op at real scale where
+    * inputs already have thousands of splits). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------------------- exact
   /** Exact dedup on normalized content: one canonical row (min id) per
     * fingerprint. Single hash-shuffle on the 128-bit key. */
@@ -34,9 +43,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   // ------------------------------------------------------- shingling
-  /** w-word shingles of normalized text (distinct). */
+  /** w-word shingles of normalized text (distinct).
+    *
+    * IMPORTANT: higher-order functions are interpreted (no codegen, no
+    * common-subexpression elimination inside the lambda), so the token
+    * split must NOT appear inside the per-shingle lambda — it would
+    * re-run once per shingle. [[shinglesFromTokens]] takes a materialized
+    * token-array column; this wrapper is only safe because it binds the
+    * tokens through a named lambda variable via `transform` over a
+    * 1-element array. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    // evaluate toks exactly once: thread it through a lambda binding
+    element_at(transform(array(toks), t => shinglesFromTokens(t, w)), 1)
+  }
+
+  /** w-word shingles from a pre-tokenized array column. */
+  def shinglesFromTokens(toks: Column, w: Int): Column = {
     val n = size(toks)
     array_distinct(
       when(n < w, array(concat_ws(" ", toks)))
@@ -48,11 +71,36 @@ object Dedup {
   // --------------------------------------------------------- minhash
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min over shingle hashes. Pure columnar (transform + aggregate),
-    * no UDF. */
+    * no UDF. (Expression form; the scale path is [[minhashSignatures]].) */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
     }: _*)
+
+  /** MinHash signatures via explode + hash-aggregate: one pass over the
+    * exploded shingles with `numHashes` codegen'd MIN aggregates (the
+    * map-side partial aggregation collapses each doc before the shuffle),
+    * instead of numHashes interpreted array traversals per row. Returns
+    * (idCol, _sh, _sig). */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      shingleWidth: Int): DataFrame = {
+    val base = spread(df).select(
+      col(idCol).as("_id"),
+      shingles(col(textCol), shingleWidth).as("_sh"))
+    val exploded = base.select(col("_id"), explode(col("_sh")).as("_s"))
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(col("_s"), lit(i))).as(s"_h$i")
+    }
+    val sigs = exploded.groupBy(col("_id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+    base.join(sigs, "_id")
+  }
 
   /** MinHash LSH candidate pairs: signatures cut into `bands` bands of
     * rows; docs sharing any band bucket become candidates; candidates
@@ -67,14 +115,12 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleWidth: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = 128): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val base = df.select(
-      col(idCol).as("_id"),
-      shingles(col(textCol), shingleWidth).as("_sh"))
-      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
+    val base = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth)
 
     // band buckets: hash of (band index, band slice of the signature)
     val bandCols = (0 until bands).map { b =>
@@ -85,16 +131,43 @@ object Dedup {
       col("_id"), col("_sh"),
       posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
 
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a._band") === col("b._band") &&
-          col("a._bucket") === col("b._bucket") &&
-          col("a._id") < col("b._id"))
+    val candidates = bucketPairs(banded, Seq("_band", "_bucket"),
+      struct(col("_id"), col("_sh")), maxBucket)
       .select(
-        col("a._id").as("id_a"), col("b._id").as("id_b"),
-        col("a._sh").as("sh_a"), col("b._sh").as("sh_b"))
+        col("_pair").getField("a").getField("_id").as("id_a"),
+        col("_pair").getField("b").getField("_id").as("id_b"),
+        col("_pair").getField("a").getField("_sh").as("sh_a"),
+        col("_pair").getField("b").getField("_sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
 
     verifyJaccard(candidates, threshold)
+  }
+
+  /** All intra-bucket pairs WITHOUT a self-join: groupBy bucket,
+    * collect members, expand ordered pairs (sorted by id, so pairs come
+    * out (smaller, larger)). One pass over the input — the
+    * candidate-generation plan is executed once, not once per join side.
+    *
+    * `maxBucket` is the LSH skew guard: a bucket of k members yields
+    * k(k-1)/2 pairs, so one degenerate bucket (boilerplate documents,
+    * near-constant vectors) turns the stage quadratic. Buckets above the
+    * cap are dropped — standard practice; their members are boilerplate
+    * that exact dedup already collapses.
+    */
+  private def bucketPairs(
+      banded: DataFrame,
+      bucketCols: Seq[String],
+      member: Column,
+      maxBucket: Int): DataFrame = {
+    val grouped = banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(array_sort(collect_list(member)).as("_ms"))
+      .filter(size(col("_ms")) > 1 && size(col("_ms")) <= maxBucket)
+    grouped.select(explode(flatten(
+      transform(col("_ms"), (x, i) =>
+        transform(
+          slice(col("_ms"), i + lit(2), greatest(size(col("_ms")) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("_pair"))
   }
 
   /** Exact n-gram Jaccard on candidate pairs carrying shingle arrays. */
@@ -115,7 +188,8 @@ object Dedup {
       idCol: String,
       shingleWidth: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val base = df.select(col(idCol).as("_id"), shingles(col(textCol), shingleWidth).as("_sh"))
+    val base = spread(df)
+      .select(col(idCol).as("_id"), shingles(col(textCol), shingleWidth).as("_sh"))
     val pairs = base.as("a").join(base.as("b"), col("a._id") < col("b._id"))
       .select(
         col("a._id").as("id_a"), col("b._id").as("id_b"),
@@ -130,15 +204,40 @@ object Dedup {
   def simhash(text: Column): Column = {
     val toks = array_distinct(split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
     val hashes = transform(toks, t => xxhash64(t))
-    // bit b of result = majority vote of bit b across token hashes
-    val bits = (0 until 64).map { b =>
-      when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc +
-            when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(lit(0L))
+    // bit b of result = majority vote of bit b across token hashes —
+    // single pass: fold the hash array into a 64-wide vote vector
+    val votes = aggregate(
+      hashes,
+      array((0 until 64).map(_ => lit(0L)): _*),
+      (acc, h) => {
+        val deltas = array((0 until 64).map { b =>
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)
+        }: _*)
+        zip_with(acc, deltas, (a, d) => a + d)
+      })
+    (0 until 64).map { b =>
+      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash per row via explode + hash-aggregate (the scale path): one
+    * pass over exploded tokens with 64 codegen'd SUM aggregates; partial
+    * aggregation collapses each doc map-side. Returns (idCol → _sh64). */
+  def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = array_distinct(
+      split(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")), " "))
+    val exploded = spread(df).select(col(idCol).as("_id"), explode(toks).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val voteAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1, 1L)
+        .otherwise(-1L)).as(s"_v$b")
     }
-    bits.reduce(_ bitwiseOR _)
+    exploded.groupBy(col("_id"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("_id"),
+        (0 until 64).map { b =>
+          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _).as("_sh64"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -152,21 +251,23 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh64"))
+      maxDist: Int = 3,
+      maxBucket: Int = 128): DataFrame = {
+    val base = simhashDF(df, textCol, idCol)
     val bandCols = (0 until 4).map { b =>
       shiftright(col("_sh64"), b * 16).bitwiseAND(lit(0xFFFFL))
     }
     val banded = base.select(
       col("_id"), col("_sh64"),
       posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
-    banded.as("a").join(banded.as("b"),
-        col("a._band") === col("b._band") &&
-          col("a._bucket") === col("b._bucket") &&
-          col("a._id") < col("b._id"))
+    bucketPairs(banded, Seq("_band", "_bucket"),
+      struct(col("_id"), col("_sh64")), maxBucket)
       .select(
-        col("a._id").as("id_a"), col("b._id").as("id_b"),
-        hamming64(col("a._sh64"), col("b._sh64")).as("hamming"))
+        col("_pair").getField("a").getField("_id").as("id_a"),
+        col("_pair").getField("b").getField("_id").as("id_b"),
+        hamming64(
+          col("_pair").getField("a").getField("_sh64"),
+          col("_pair").getField("b").getField("_sh64")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
@@ -185,7 +286,8 @@ object Dedup {
       dim: Int,
       nPlanes: Int = 16,
       threshold: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 1024): DataFrame = {
     val planeVal: (Int, Column) => Column = (p, i) =>
       (hash(lit(seed), lit(p), i).cast("double") / lit(Int.MaxValue.toDouble))
     // sign bit per plane: dot(vec, plane) > 0
@@ -200,11 +302,14 @@ object Dedup {
       col(idCol).as("_id"), col(vecCol).as("_v"),
       sigBits.reduce(_ + _).as("_bucket"))
 
-    base.as("a").join(base.as("b"),
-        col("a._bucket") === col("b._bucket") && col("a._id") < col("b._id"))
-      .withColumn("cosine", cosineSim(col("a._v"), col("b._v")))
+    bucketPairs(base, Seq("_bucket"), struct(col("_id"), col("_v")), maxBucket)
+      .select(
+        col("_pair").getField("a").getField("_id").as("id_a"),
+        col("_pair").getField("b").getField("_id").as("id_b"),
+        cosineSim(
+          col("_pair").getField("a").getField("_v"),
+          col("_pair").getField("b").getField("_v")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("cosine"))
   }
 
   /** Exact cosine similarity between two float arrays (double math). */

@@ -131,10 +131,42 @@ object TranscriptFeatures {
       .agg(count(lit(1)).as("n_turns"), aggs: _*)
   }
 
+  /** Narrow feature materialization: token/tool metrics are computed
+    * map-side BEFORE the window exchange and the wide `text` column is
+    * dropped, so the shuffle moves ~40 bytes/row instead of the full
+    * transcript — the difference between bandwidth-bound and CPU-bound
+    * at cluster scale. Output: key, order cols, role + cumulative
+    * features (joinable back to text by (conv_id, turn_idx) if needed).
+    */
+  def turnFeaturesNarrow(
+      df: DataFrame,
+      key: String = "conv_id",
+      orderCols: Seq[Column] = Seq(col("ts"), col("turn_idx"))): DataFrame = {
+    val narrow = df.select(
+      col(key), col("ts"), col("turn_idx"), col("role"),
+      tokenCount(col("text")).as("_tk"),
+      toolUsed(col("tool")).as("_tu"))
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    narrow
+      .withColumn("turns_so_far", count(lit(1)).over(w))
+      .withColumn("tokens_so_far", sum(col("_tk")).over(w).cast("long"))
+      .withColumn("tool_turns_so_far", sum(col("_tu")).over(w).cast("long"))
+      .withColumn("tool_rate_so_far",
+        col("tool_turns_so_far").cast("double") / col("turns_so_far"))
+      .withColumn("user_tokens_so_far",
+        sum(when(col("role") === "user", col("_tk")).otherwise(lit(0))).over(w).cast("long"))
+      .withColumn("assistant_tokens_so_far",
+        sum(when(col("role") === "assistant", col("_tk")).otherwise(lit(0))).over(w).cast("long"))
+      .drop("_tk", "_tu")
+  }
+
   /** Cumulative (point-in-time safe) per-turn features: everything here
     * observes only rows with ts <= the current row's ts — the zero-leakage
     * invariant (BASELINE north_star). Emitted per turn so an as-of join at
     * any probe ts picks up exactly the history-to-date feature vector.
+    * Carries ALL input columns (incl. text) — for narrow scale-path
+    * materialization use [[turnFeaturesNarrow]].
     */
   def cumulativeTurnFeatures(
       df: DataFrame,
@@ -142,10 +174,14 @@ object TranscriptFeatures {
       orderCols: Seq[Column] = Seq(col("ts"), col("turn_idx"))): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val toks = tokenCount(col("text"))
-    df.withColumn("turns_so_far", count(lit(1)).over(w))
+    // token/tool columns materialized ONCE before the window so the regex
+    // split runs one time per row, not once per referencing aggregate
+    val toks = col("_tk")
+    df.withColumn("_tk", tokenCount(col("text")))
+      .withColumn("_tu", toolUsed(col("tool")))
+      .withColumn("turns_so_far", count(lit(1)).over(w))
       .withColumn("tokens_so_far", sum(toks).over(w).cast("long"))
-      .withColumn("tool_turns_so_far", sum(toolUsed(col("tool"))).over(w).cast("long"))
+      .withColumn("tool_turns_so_far", sum(col("_tu")).over(w).cast("long"))
       .withColumn(
         "tool_rate_so_far",
         col("tool_turns_so_far").cast("double") / col("turns_so_far"))
@@ -155,5 +191,6 @@ object TranscriptFeatures {
       .withColumn(
         "assistant_tokens_so_far",
         sum(when(col("role") === "assistant", toks).otherwise(lit(0))).over(w).cast("long"))
+      .drop("_tk", "_tu")
   }
 }

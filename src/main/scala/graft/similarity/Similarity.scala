@@ -44,7 +44,7 @@ object Similarity {
       k: Int = 10): DataFrame = {
     val q = queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(
+    val c = graft.dedup.Dedup.spread(corpus).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", Dedup.cosineSim(col("_qv"), col("_cv")))
@@ -96,7 +96,7 @@ object Similarity {
       ctrs: DataFrame,
       idCol: String,
       vecCol: String): DataFrame = {
-    val withAll = corpus.crossJoin(broadcast(
+    val withAll = graft.dedup.Dedup.spread(corpus).crossJoin(broadcast(
       ctrs.groupBy().agg(collect_list(struct(col("centroid_id"), col("_ctr"))).as("_all"))))
     withAll
       .withColumn("_best",
