@@ -236,6 +236,104 @@ object QueriesExtra {
     Dedup.simhashPairs(base.unionByName(mutated), "text", "doc_id", maxDist = 3)
   }
 
+  // ------------------------------------------------------------------- A4
+  /** PERCENTILE_CONT(0.5) WITHIN GROUP — exact median (SURVEY §2.3 A4;
+    * test_snowflake_sources.py:13). Interpolated from at most two values
+    * → bit-stable across engines. */
+  def q26Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
+        count(lit(1)).as("n"))
+
+  val q26Sql: String =
+    """SELECT event_type,
+      | ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 6) AS median_value,
+      | ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90_value,
+      | COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- F5/F12
+  /** IFF/IF, CONCAT/||, NULLIF+ZEROIFNULL idioms (SURVEY §2.6 F3/F4/F5/
+    * F12; test_snowflake_sources.py:34,67). */
+  def q27ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("value") > 10, "big").otherwise("small").as("size_tag"),
+        concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("tag"),
+        coalesce(col("value") / nullif(pmod(col("user_id"), lit(10)), lit(0)), lit(0.0))
+          .as("safe_ratio"))
+
+  val q27Sql: String =
+    """SELECT event_id,
+      | IF(value > 10, 'big', 'small') AS size_tag,
+      | event_type || '_' || CAST(user_id AS VARCHAR) AS tag,
+      | COALESCE(value / NULLIF(user_id % 10, 0), 0.0) AS safe_ratio
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------------- J4
+  /** CROSS JOIN grid + left join with zero-fill (SURVEY §2.2 J4;
+    * test_teradata_sources.py:22-33 date-spine × customer grid). */
+  def q28CrossGrid(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val users = e.select(col("user_id")).distinct()
+    val types = e.select(col("event_type")).distinct()
+    val counts = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    users.crossJoin(types)
+      .join(counts, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  val q28Sql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      | t AS (SELECT DISTINCT event_type FROM events),
+      | c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |       FROM events GROUP BY 1, 2)
+      |SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n_events
+      |FROM u CROSS JOIN t
+      |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""".stripMargin
+
+  // ------------------------------------------------------------------- O3
+  /** UNION ALL of tagged subsets (SURVEY §2.5 O3). */
+  def q29UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.filter(col("value") >= 15)
+      .select(col("event_id"), lit("high").as("bucket"))
+      .unionAll(
+        e.filter(col("value") < 5)
+          .select(col("event_id"), lit("low").as("bucket")))
+  }
+
+  val q29Sql: String =
+    """SELECT event_id, 'high' AS bucket FROM events WHERE value >= 15
+      |UNION ALL
+      |SELECT event_id, 'low' AS bucket FROM events WHERE value < 5""".stripMargin
+
+  // ------------------------------------------------------------------- A7
+  /** ARRAY_AGG(OBJECT_CONSTRUCT(...)) ≡ sorted collect of structs,
+    * serialized to JSON for a stable comparable shape (SURVEY §2.3 A7;
+    * reference stringifies these — sql_sources.py:230-232; we keep the
+    * native array<struct> in [[graft.engine.FeatureEngine]] plans and
+    * stringify only at this comparison boundary). */
+  def q30StructAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .groupBy(col("user_id"))
+      .agg(to_json(array_sort(collect_list(
+        struct(col("event_id").as("id"), col("event_type").as("t")))))
+        .as("events_json"))
+
+  val q30Sql: String =
+    """SELECT user_id,
+      | CAST(to_json(list_sort(list((event_id, event_type)::
+      |   STRUCT(id BIGINT, t VARCHAR)))) AS VARCHAR) AS events_json
+      |FROM events WHERE event_id < 500 GROUP BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -246,7 +344,12 @@ object QueriesExtra {
     "q22_minhash_candidates" -> (q22MinhashCandidates _),
     "q23_knn_brute" -> (q23KnnBrute _),
     "q24_knn_ivf" -> (q24KnnIvf _),
-    "q25_simhash" -> (q25Simhash _))
+    "q25_simhash" -> (q25Simhash _),
+    "q26_percentile" -> (q26Percentile _),
+    "q27_scalar_funcs" -> (q27ScalarFuncs _),
+    "q28_cross_grid" -> (q28CrossGrid _),
+    "q29_union_all" -> (q29UnionAll _),
+    "q30_struct_agg" -> (q30StructAgg _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -255,5 +358,10 @@ object QueriesExtra {
     "q19_langid" -> q19Sql,
     "q20_fingerprint_dedup" -> q20Sql,
     "q21_neardup_jaccard" -> q21Sql,
-    "q23_knn_brute" -> q23Sql)
+    "q23_knn_brute" -> q23Sql,
+    "q26_percentile" -> q26Sql,
+    "q27_scalar_funcs" -> q27Sql,
+    "q28_cross_grid" -> q28Sql,
+    "q29_union_all" -> q29Sql,
+    "q30_struct_agg" -> q30Sql)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.SparkTestBase
+
+/** Physical-plan quality gates: the properties that make these operators
+  * scale must survive refactors — pushdown/pruning at the scan,
+  * broadcast of dimension tables, single-shuffle as-of join.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: aggregate is partial+final with a column-pruned scan") {
+    val p = plan("q01_agg_basic")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_returnflag:string,l_linestatus:string>"),
+      s"scan not pruned to the 4 referenced columns:\n$p")
+  }
+
+  test("q03: dimension joins broadcast; join-key filters pushed to the scan") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey)]"),
+      s"join-key null filter not pushed to orders scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join degraded to SMJ:\n$p")
+  }
+
+  test("q09: backward as-of join is ONE shuffle (union + sort + window), " +
+       "with the event_type filters pushed to both scans") {
+    val p = plan("q09_asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"as-of join must shuffle exactly once, got $exchanges:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"), "feature-side filter not pushed")
+    assert(p.contains("EqualTo(event_type,signup)"), "probe-side filter not pushed")
+    assert(p.contains("Window"), "expected window-based last-value carry")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not fall back to a product join")
+  }
+
+  test("q05: top-k per group stays a single window pass (no join, no extra shuffle)") {
+    val p = plan("q05_topk_per_group")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("whole-stage codegen covers the scan->aggregate hot path") {
+    // codegen spans only show in the AQE-final plan, so execute first
+    val df = SparkEntry.queries("q01_agg_basic")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Operator" is the WholeStageCodegen span marker in plan strings
+    assert(p.contains("*(1)") && p.contains("*(2)"), s"codegen missing:\n$p")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.datagen.TranscriptGen
+import graft.features.{TranscriptFeatures, Turn}
+
+class StreamingFeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val turns: Seq[Turn] =
+    TranscriptGen.turns(spark, nConvs = 20, avgTurns = 8, seed = 21L).collect().toSeq
+
+  test("streaming runningFeatures equals batch cumulativeTurnFeatures") {
+    val input = MemoryStream[Turn](spark)
+    val out = StreamingFeatures.runningFeatures(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("running_feats")
+      .outputMode("append").start()
+    // two micro-batches to prove state carries across batches
+    val (b1, b2) = turns.sortBy(t => (t.conv_id, t.turn_idx))
+      .partition(_.turn_idx < 3)
+    input.addData(b1)
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("running_feats")
+      .select($"conv_id", $"turn_idx", $"turns_so_far", $"tokens_so_far", $"tool_turns_so_far")
+      .as[(String, Int, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+
+    val want = TranscriptFeatures.cumulativeTurnFeatures(turns.toDF())
+      .select($"conv_id", $"turn_idx", $"turns_so_far", $"tokens_so_far", $"tool_turns_so_far")
+      .as[(String, Int, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("session_window aggregation closes sessions at the gap") {
+    val data = Seq(
+      Turn("c1", 0, "user", "a b c", "", ts("2024-01-01 00:00:00")),
+      Turn("c1", 1, "assistant", "d e", "search", ts("2024-01-01 00:05:00")),
+      // > 30 min gap → new session
+      Turn("c1", 2, "user", "f", "", ts("2024-01-01 01:00:00")),
+      Turn("c2", 0, "user", "g h", "", ts("2024-01-01 00:00:00")))
+    val input = MemoryStream[Turn](spark)
+    val out = StreamingFeatures.sessionAggregates(input.toDF(), gapSeconds = 1800L)
+    val q = out.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    input.addData(data)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions")
+      .select($"conv_id", $"turns", $"tokens", $"tool_turns")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(("c1", 1L, 1L, 0L), ("c1", 2L, 5L, 1L), ("c2", 1L, 2L, 0L)))
+  }
+
+  test("tumbling windowed stats") {
+    val data = Seq(
+      Turn("c1", 0, "user", "a b", "", ts("2024-01-01 00:01:00")),
+      Turn("c1", 1, "user", "c", "", ts("2024-01-01 00:03:00")),
+      Turn("c1", 2, "user", "d e f", "", ts("2024-01-01 00:07:00")))
+    val input = MemoryStream[Turn](spark)
+    val out = StreamingFeatures.windowedTurnStats(input.toDF(), windowLen = "5 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("windows")
+      .outputMode("complete").start()
+    input.addData(data)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("windows")
+      .select($"conv_id", $"turns", $"tokens")
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(("c1", 1L, 3L), ("c1", 2L, 3L)))
+  }
+}
