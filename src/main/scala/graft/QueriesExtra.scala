@@ -334,6 +334,62 @@ object QueriesExtra {
       |   STRUCT(id BIGINT, t VARCHAR)))) AS VARCHAR) AS events_json
       |FROM events WHERE event_id < 500 GROUP BY user_id""".stripMargin
 
+  // ----------------------------------------------------- A10 (oracle'd)
+  /** The north_star per-turn cumulative transcript features, fully
+    * DuckDB-oracle-checked: a transcript table is derived from `events`
+    * identically on both sides (conv=user, turn order by ts, text=props,
+    * tool from event_type), then run through
+    * [[TranscriptFeatures.cumulativeTurnFeatures]]. */
+  def q31TranscriptFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = t(s, dir, "events").select(
+      col("user_id").cast("string").as("conv_id"),
+      (row_number().over(w) - 1).as("turn_idx"),
+      when(col("event_type") === "view", "user")
+        .when(col("event_type") === "click", "assistant")
+        .otherwise(col("event_type")).as("role"),
+      col("props").as("text"),
+      when(col("event_type") === "click", "browser").otherwise("").as("tool"),
+      col("ts"))
+    graft.features.TranscriptFeatures.cumulativeTurnFeatures(tr)
+      .select(
+        col("conv_id"), col("turn_idx"),
+        col("turns_so_far"), col("tokens_so_far"), col("tool_turns_so_far"),
+        round(col("tool_rate_so_far"), 6).as("tool_rate"),
+        col("user_tokens_so_far"), col("assistant_tokens_so_far"))
+  }
+
+  val q31Sql: String =
+    """WITH tr AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+      |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+      |     AS turn_idx,
+      |   CASE WHEN event_type = 'view' THEN 'user'
+      |        WHEN event_type = 'click' THEN 'assistant'
+      |        ELSE event_type END AS role,
+      |   props AS text,
+      |   CASE WHEN event_type = 'click' THEN 'browser' ELSE '' END AS tool,
+      |   ts
+      |  FROM events),
+      | f AS (
+      |  SELECT conv_id, turn_idx,
+      |   COUNT(*) OVER w AS turns_so_far,
+      |   SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) OVER w AS tokens_so_far,
+      |   SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) OVER w AS tool_turns_so_far,
+      |   SUM(CASE WHEN role = 'user'
+      |        THEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) ELSE 0 END)
+      |     OVER w AS user_tokens_so_far,
+      |   SUM(CASE WHEN role = 'assistant'
+      |        THEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) ELSE 0 END)
+      |     OVER w AS assistant_tokens_so_far
+      |  FROM tr
+      |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT conv_id, turn_idx, turns_so_far, tokens_so_far, tool_turns_so_far,
+      | ROUND(CAST(tool_turns_so_far AS DOUBLE) / turns_so_far, 6) AS tool_rate,
+      | user_tokens_so_far, assistant_tokens_so_far
+      |FROM f""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -349,7 +405,8 @@ object QueriesExtra {
     "q27_scalar_funcs" -> (q27ScalarFuncs _),
     "q28_cross_grid" -> (q28CrossGrid _),
     "q29_union_all" -> (q29UnionAll _),
-    "q30_struct_agg" -> (q30StructAgg _))
+    "q30_struct_agg" -> (q30StructAgg _),
+    "q31_transcript_features" -> (q31TranscriptFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -363,5 +420,6 @@ object QueriesExtra {
     "q27_scalar_funcs" -> q27Sql,
     "q28_cross_grid" -> q28Sql,
     "q29_union_all" -> q29Sql,
-    "q30_struct_agg" -> q30Sql)
+    "q30_struct_agg" -> q30Sql,
+    "q31_transcript_features" -> q31Sql)
 }

@@ -248,6 +248,27 @@ class FeatureEngine(
       .drop(s"_matched_ts_${view.name}")
   }
 
+  /** Checkpoint-resumable backfill of a compiled feature view to a
+    * parquet sink with per-bucket manifests and a per-view lineage
+    * record (north_rule: "per-partition lineage + metrics ... per
+    * feature view"). Rerunning resumes past completed buckets.
+    */
+  def materializeView(
+      viewName: String,
+      outDir: String): graft.materialize.Materializer.Report = {
+    val view = registry.getView(viewName).getOrElse(
+      throw new IllegalArgumentException(s"Feature view '$viewName' not found"))
+    val compiled = compileView(view)
+    graft.materialize.Materializer.materialize(
+      spark, compiled, "event_timestamp", outDir,
+      lineage = Map(
+        "feature_view" -> view.name,
+        "source" -> view.sourceName,
+        "entities" -> view.entities.mkString(","),
+        "ttl_days" -> view.ttlDays.toString,
+        "schema" -> view.schema.map(f => s"${f.name}:${f.dtype}").mkString(",")))
+  }
+
   /** "Materialize latest per key" — the online-store write shape
     * (SURVEY §2.1 S5): ROW_NUMBER()=1 over key ordered by ts desc. */
   def materializeLatest(viewName: String): DataFrame = {

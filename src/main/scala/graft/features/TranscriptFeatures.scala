@@ -131,6 +131,57 @@ object TranscriptFeatures {
       .agg(count(lit(1)).as("n_turns"), aggs: _*)
   }
 
+  /** Salted two-phase per-conversation aggregation — the skew path for
+    * hot conversations (north_star: "salted repartitioning"). Phase 1
+    * aggregates (conv_id, salt) partials — hot keys split across `salt`
+    * reducers; phase 2 merges partials per conv_id. Order-dependent
+    * windows (lag/lead, sessionization) can't be salted; this covers the
+    * commutative aggregate features (counts, sums, rates, bounds).
+    * Result is identical to [[convAggregates]] minus tool_rate being
+    * derived (sum/count) rather than avg'd — same value.
+    */
+  def convAggregatesSalted(
+      df: DataFrame,
+      salt: Int = 16,
+      key: String = "conv_id",
+      tsCol: String = "ts",
+      textCol: String = "text",
+      roleCol: String = "role",
+      toolCol: String = "tool",
+      roles: Seq[String] = Seq("user", "assistant", "system", "tool")): DataFrame = {
+    val toks = tokenCount(col(textCol))
+    val rolePartials = roles.flatMap { r =>
+      Seq(
+        sum(when(col(roleCol) === r, toks).otherwise(lit(0)))
+          .cast("long").as(s"_p_role_${r}_tokens"),
+        sum(when(col(roleCol) === r, 1).otherwise(0))
+          .cast("long").as(s"_p_role_${r}_turns"))
+    }
+    val phase1Aggs = Seq(
+      max(col(tsCol)).as("_p_last"),
+      min(col(tsCol)).as("_p_first"),
+      sum(toolUsed(col(toolCol))).cast("long").as("_p_tool"),
+      sum(toks).cast("long").as("_p_tokens")) ++ rolePartials
+    val phase1 = df
+      .withColumn("_salt", pmod(hash(col(tsCol), col(textCol)), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_p_n"), phase1Aggs: _*)
+    val roleFinals = roles.flatMap { r =>
+      Seq(
+        sum(col(s"_p_role_${r}_tokens")).cast("long").as(s"role_${r}_tokens"),
+        sum(col(s"_p_role_${r}_turns")).cast("long").as(s"role_${r}_turns"))
+    }
+    phase1.groupBy(col(key))
+      .agg(
+        sum(col("_p_n")).cast("long").as("n_turns"),
+        (Seq(
+          max(col("_p_last")).as("last_ts"),
+          min(col("_p_first")).as("first_ts"),
+          sum(col("_p_tool")).cast("long").as("tool_turns"),
+          (sum(col("_p_tool")).cast("double") / sum(col("_p_n"))).as("tool_rate"),
+          sum(col("_p_tokens")).cast("long").as("total_tokens")) ++ roleFinals): _*)
+  }
+
   /** Narrow feature materialization: token/tool metrics are computed
     * map-side BEFORE the window exchange and the wide `text` column is
     * dropped, so the shuffle moves ~40 bytes/row instead of the full
