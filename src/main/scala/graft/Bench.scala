@@ -38,18 +38,19 @@ object Bench {
     val turns = spark.read.parquet(turnsPath)
     val nTurns = turns.count()
 
-    // feature materialization: cumulative point-in-time features, written out
+    // feature materialization (narrow scale path, parquet sink) — the
+    // sf0.1 table is small, so this records operator latency; the
+    // throughput/scaling record is ScalingBench at 12M turns (BASELINE.md)
     val matPath = s"/tmp/graft_bench_mat_sf${sf}_c$cpus"
     val t0 = System.nanoTime()
-    TranscriptFeatures.cumulativeTurnFeatures(turns)
+    TranscriptFeatures.turnFeaturesNarrow(turns)
       .write.mode("overwrite").parquet(matPath)
     val matSec = (System.nanoTime() - t0) / 1e9
     val turnsPerSec = nTurns / matSec
 
     // as-of retrieval latency: 4 probes/conversation against the features
     val feats = spark.read.parquet(matPath)
-      .select("conv_id", "ts", "turn_idx", "turns_so_far", "tokens_so_far",
-        "tool_rate_so_far")
+      .select("conv_id", "ts", "turn_idx", "turns_so_far", "tokens_so_far")
     val probes = TranscriptGen.probes(spark,
       turns.as[graft.features.Turn]).withColumnRenamed("ts", "probe_ts")
     val t1 = System.nanoTime()

@@ -374,13 +374,13 @@ object QueriesExtra {
       | f AS (
       |  SELECT conv_id, turn_idx,
       |   COUNT(*) OVER w AS turns_so_far,
-      |   SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) OVER w AS tokens_so_far,
+      |   SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> ''))) OVER w AS tokens_so_far,
       |   SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) OVER w AS tool_turns_so_far,
       |   SUM(CASE WHEN role = 'user'
-      |        THEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) ELSE 0 END)
+      |        THEN LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> '')) ELSE 0 END)
       |     OVER w AS user_tokens_so_far,
       |   SUM(CASE WHEN role = 'assistant'
-      |        THEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) ELSE 0 END)
+      |        THEN LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> '')) ELSE 0 END)
       |     OVER w AS assistant_tokens_so_far
       |  FROM tr
       |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx

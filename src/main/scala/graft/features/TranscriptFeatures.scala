@@ -27,10 +27,12 @@ case class Turn(
   */
 object TranscriptFeatures {
 
-  /** Whitespace token count; empty/blank text counts 0. */
+  /** Whitespace token count (= number of non-empty `\s+`-separated
+    * pieces; blank/empty → 0). Implemented as the native codegen'd
+    * single-pass expression [[graft.functions.WhitespaceTokenCount]] —
+    * no regex, no array materialization on the hot path. */
   def tokenCount(text: Column): Column =
-    when(text.isNull || length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    graft.functions.WhitespaceTokenCount(text)
 
   /** Tool-usage flag: a non-empty `tool` column. */
   def toolUsed(tool: Column): Column =

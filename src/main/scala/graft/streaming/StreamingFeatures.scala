@@ -95,8 +95,8 @@ object StreamingFeatures {
             var st = state.getOption.getOrElse(ConvState(0L, 0L, 0L))
             val out = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx)).map { t =>
               val toks =
-                if (t.text == null || t.text.trim.isEmpty) 0
-                else t.text.trim.split("\\s+").length
+                if (t.text == null) 0
+                else t.text.split("\\s+").count(_.nonEmpty)
               val tool = if (t.tool != null && t.tool.nonEmpty) 1L else 0L
               st = ConvState(st.turns + 1, st.tokens + toks, st.toolTurns + tool)
               TurnFeature(convId, t.turn_idx, t.ts, st.turns, st.tokens, st.toolTurns)
