@@ -390,6 +390,49 @@ object QueriesExtra {
       | user_tokens_so_far, assistant_tokens_so_far
       |FROM f""".stripMargin
 
+  // ------------------------------------------- embedding near-dup
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH over the
+    * corpus + planted exact copies (vec_id+100000). Rows-only: bucket
+    * assignment is engine-specific; semantics + recall in DedupSpec. */
+  def q32EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingNearDup(base.unionByName(copies), "embedding", "vec_id",
+      dim = 64, nPlanes = 12, threshold = 0.98)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  // ------------------------------------------------- quality scoring
+  /** Composite pretraining-data quality score (length band + punctuation
+    * + stopword presence), oracle-checked: Java \p{Punct} == POSIX
+    * [[:punct:]] (ASCII), identical ratio arithmetic on both sides. */
+  def q33QualityScore(s: SparkSession, dir: String): DataFrame =
+    Dedup.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val q33Sql: String = {
+    val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  CASE WHEN TRIM(text) = '' THEN 0
+       |       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS toks,
+       |  CASE WHEN LEN(text) = 0 THEN 0.0
+       |       ELSE CAST(LEN(text) - LEN(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))
+       |            AS DOUBLE) / LEN(text) END AS punct_ratio,
+       |  CASE WHEN LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) = 0 THEN 0.0
+       |       ELSE CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+       |              x -> x IN ($stops))) AS DOUBLE)
+       |            / LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) END AS stop_ratio
+       | FROM documents)
+       |SELECT doc_id,
+       | ROUND((
+       |   (CASE WHEN toks BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |   + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+       |   + LEAST(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+       |FROM m""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -406,7 +449,9 @@ object QueriesExtra {
     "q28_cross_grid" -> (q28CrossGrid _),
     "q29_union_all" -> (q29UnionAll _),
     "q30_struct_agg" -> (q30StructAgg _),
-    "q31_transcript_features" -> (q31TranscriptFeatures _))
+    "q31_transcript_features" -> (q31TranscriptFeatures _),
+    "q32_embed_neardup" -> (q32EmbedNeardup _),
+    "q33_quality_score" -> (q33QualityScore _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -421,5 +466,6 @@ object QueriesExtra {
     "q28_cross_grid" -> q28Sql,
     "q29_union_all" -> q29Sql,
     "q30_struct_agg" -> q30Sql,
-    "q31_transcript_features" -> q31Sql)
+    "q31_transcript_features" -> q31Sql,
+    "q33_quality_score" -> q33Sql)
 }
