@@ -59,20 +59,29 @@ object Bench {
     val asofSec = (System.nanoTime() - t1) / 1e9
 
     // ---- per-query loop over the driver testdata SF ----
+    // A failing query must surface as an "errors" entry, never as a
+    // normal-looking timing (a silent fallback hides regressions).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
-      name -> (System.nanoTime() - q0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+      (name, (System.nanoTime() - q0) / 1e9, err)
     }
 
-    val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val qJson = results.map { case (k, v, _) => s""""$k":${f"$v%.3f"}""" }
+      .mkString("{", ",", "}")
+    val errJson = results.collect { case (k, _, Some(e)) => s""""$k":"${jesc(e)}"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + matSec + asofSec
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +
+      s""""errors":$errJson,""" +
       s""""sf":"$sfDir","cpus":$cpus,"transcript_turns":$nTurns,""" +
       s""""materialize_sec":${f"$matSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.0f"},""" +
       s""""asof_sec":${f"$asofSec%.3f"},"asof_rows":$nOut}""")

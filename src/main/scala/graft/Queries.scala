@@ -176,8 +176,9 @@ object Queries {
       | FROM events
       | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, event_id,
-      | SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      | CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+      |  AS session_id
       |FROM g""".stripMargin
 
   // ------------------------------------------------------------------- J1

@@ -166,9 +166,15 @@ object QueriesExtra {
       |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin
 
   // ------------------------------------------- minhash LSH (scale path)
-  /** MinHash+LSH near-dup pairs over the full corpus + mutated copies —
-    * the O(N) banding path. Probabilistic recall → rows-only driver
-    * check; recall vs the exact oracle is asserted in DedupSpec. */
+  /** MinHash+LSH near-dup pairs over the full corpus + mutated copies
+    * (drop-last-2-words) — the O(N) banding path — restricted to the
+    * PLANTED pair relation (id_b = id_a + 100000) so DuckDB can compute
+    * the exact expected set in O(N): each planted pair's true 3-gram
+    * Jaccard is far above the 0.8 threshold, and at 16 bands of 2 rows
+    * the banding miss probability at s = 0.8 is (1-0.8²)¹⁶ ≈ 8e-8 —
+    * verified exhaustively against the oracle on the driver's sf. Full
+    * (unrestricted) LSH recall vs the exact oracle stays asserted in
+    * DedupSpec. */
   def q22MinhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val toks = split(col("text"), " ", -1)
@@ -176,9 +182,34 @@ object QueriesExtra {
       (col("doc_id") + 100000L).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"))
     Dedup.minhashLsh(base.unionByName(mutated), "text", "doc_id",
-      numHashes = 32, bands = 8, threshold = 0.8)
+      numHashes = 32, bands = 16, threshold = 0.8)
+      .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  val q22Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents),
+      | mutated AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |   array_to_string(string_split(text, ' ')[1:GREATEST(LEN(string_split(text,' '))-2, 1)], ' ') AS text
+      |  FROM base),
+      | all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mutated),
+      | sh AS (
+      |  SELECT doc_id,
+      |   CASE WHEN LEN(string_split(LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g')), ' ')) < 3
+      |        THEN [LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g'))]
+      |        ELSE list_distinct(list_transform(
+      |          range(0, LEN(string_split(LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g')), ' ')) - 2),
+      |          i -> array_to_string(string_split(LOWER(REGEXP_REPLACE(TRIM(text),'\s+',' ','g')), ' ')[i+1:i+3], ' ')))
+      |   END AS grams
+      |  FROM all_docs),
+      | pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |     / LEN(list_distinct(list_concat(a.grams, b.grams))) AS j
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 100000)
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin
 
   // --------------------------------------------------------- brute kNN
   /** Exact cosine top-k (k=5) for the first 10 vectors — ANN baseline. */
@@ -224,17 +255,26 @@ object QueriesExtra {
   }
 
   // ----------------------------------------------------------- simhash
-  /** SimHash near-dup pairs over corpus + mutated copies (rows-only:
-    * xxhash64 is engine-specific; semantics asserted in DedupSpec). */
+  /** SimHash near-dup pairs over corpus + planted exact copies,
+    * restricted to the planted relation (id_b = id_a + 100000): an
+    * identical copy has an identical 64-bit simhash, so it shares every
+    * 16-bit band bucket deterministically and surfaces at Hamming 0 —
+    * DuckDB's expected set is exactly one (id, id+100000, 0) row per
+    * document. Near-dup (mutated) behavior stays asserted in DedupSpec,
+    * where the engine-side hashes can be compared directly. */
   def q25Simhash(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val toks = split(col("text"), " ", -1)
-    val mutated = base.select(
-      (col("doc_id") + 100000L).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1)))).as("text"))
+    val copies = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     // maxDist 3 = the guarantee bound of 4-band/16-bit blocking
-    Dedup.simhashPairs(base.unionByName(mutated), "text", "doc_id", maxDist = 3)
+    Dedup.simhashPairs(base.unionByName(copies), "text", "doc_id", maxDist = 3)
+      .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
+
+  val q25Sql: String =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      | CAST(0 AS BIGINT) AS hamming
+      |FROM documents""".stripMargin
 
   // ------------------------------------------------------------------- A4
   /** PERCENTILE_CONT(0.5) WITHIN GROUP — exact median (SURVEY §2.3 A4;
@@ -374,14 +414,14 @@ object QueriesExtra {
       | f AS (
       |  SELECT conv_id, turn_idx,
       |   COUNT(*) OVER w AS turns_so_far,
-      |   SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> ''))) OVER w AS tokens_so_far,
-      |   SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) OVER w AS tool_turns_so_far,
-      |   SUM(CASE WHEN role = 'user'
+      |   CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> ''))) OVER w AS BIGINT) AS tokens_so_far,
+      |   CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS tool_turns_so_far,
+      |   CAST(SUM(CASE WHEN role = 'user'
       |        THEN LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> '')) ELSE 0 END)
-      |     OVER w AS user_tokens_so_far,
-      |   SUM(CASE WHEN role = 'assistant'
+      |     OVER w AS BIGINT) AS user_tokens_so_far,
+      |   CAST(SUM(CASE WHEN role = 'assistant'
       |        THEN LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> '')) ELSE 0 END)
-      |     OVER w AS assistant_tokens_so_far
+      |     OVER w AS BIGINT) AS assistant_tokens_so_far
       |  FROM tr
       |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -391,17 +431,26 @@ object QueriesExtra {
       |FROM f""".stripMargin
 
   // ------------------------------------------- embedding near-dup
-  /** Embedding-cosine near-duplicates via random-hyperplane LSH over the
-    * corpus + planted exact copies (vec_id+100000). Rows-only: bucket
-    * assignment is engine-specific; semantics + recall in DedupSpec. */
+  /** Embedding-cosine near-duplicates via banded random-hyperplane LSH
+    * over the corpus + planted exact copies (vec_id+100000), restricted
+    * to the planted relation: an identical copy has identical sign bits
+    * in every band, so it is found deterministically with cosine exactly
+    * 1.0 after 6-digit rounding — DuckDB's expected set is one
+    * (id, id+100000, 1.0) row per copied vector. General near-dup recall
+    * (banding at cosine 0.95) is asserted in DedupSpec. */
   def q32EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val copies = base.filter(col("vec_id") < 100)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
     Dedup.embeddingNearDup(base.unionByName(copies), "embedding", "vec_id",
-      dim = 64, nPlanes = 12, threshold = 0.98)
+      dim = 64, nPlanes = 32, bands = 4, threshold = 0.98)
+      .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  val q32Sql: String =
+    """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+      |FROM embeddings WHERE vec_id < 100""".stripMargin
 
   // ------------------------------------------------- quality scoring
   /** Composite pretraining-data quality score (length band + punctuation
@@ -460,7 +509,10 @@ object QueriesExtra {
     "q19_langid" -> q19Sql,
     "q20_fingerprint_dedup" -> q20Sql,
     "q21_neardup_jaccard" -> q21Sql,
+    "q22_minhash_candidates" -> q22Sql,
     "q23_knn_brute" -> q23Sql,
+    "q25_simhash" -> q25Sql,
+    "q32_embed_neardup" -> q32Sql,
     "q26_percentile" -> q26Sql,
     "q27_scalar_funcs" -> q27Sql,
     "q28_cross_grid" -> q28Sql,

@@ -253,6 +253,11 @@ object Dedup {
       idCol: String,
       maxDist: Int = 3,
       maxBucket: Int = 128): DataFrame = {
+    // 4 bands of 16 bits guarantee recall only up to Hamming distance 3
+    // (pigeonhole); larger maxDist would silently return incomplete pairs.
+    require(maxDist <= 3,
+      s"simhashPairs guarantees recall only for maxDist <= 3 with 4-band " +
+        s"blocking (pigeonhole); got $maxDist")
     val base = simhashDF(df, textCol, idCol)
     val bandCols = (0 until 4).map { b =>
       shiftright(col("_sh64"), b * 16).bitwiseAND(lit(0xFFFFL))
@@ -273,42 +278,54 @@ object Dedup {
   }
 
   // ------------------------------------------- embedding near-dup
-  /** Embedding-cosine near-duplicates via random-hyperplane LSH:
-    * `nPlanes` deterministic hyperplanes → sign bits → bucket; pairs in
-    * the same bucket verified with exact cosine >= threshold.
-    * Hyperplanes are derived from xxhash64(seed, planeIdx, dim) so the
-    * whole pipeline is deterministic and distributable.
+  /** Embedding-cosine near-duplicates via banded random-hyperplane LSH:
+    * `nPlanes` deterministic hyperplanes → sign bits, cut into `bands`
+    * band tables of nPlanes/bands bits each (same amplification shape as
+    * [[minhashLsh]]); pairs sharing ANY band bucket are verified with
+    * exact cosine >= threshold. A single table (bands = 1) at r = 16
+    * bits has recall ≈ (1-θ/π)^16 ≈ 0.18 at cosine 0.95 — banding makes
+    * recall controllable: at nPlanes = 32, bands = 4 (r = 8), recall at
+    * cosine 0.95 is 1-(1-0.9^8)^4 ≈ 0.9. Hyperplane components derive
+    * from hash(seed, planeIdx, dimIdx), so the whole pipeline is
+    * deterministic and distributable.
     */
   def embeddingNearDup(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       dim: Int,
-      nPlanes: Int = 16,
+      nPlanes: Int = 32,
+      bands: Int = 4,
       threshold: Double = 0.95,
       seed: Long = 42L,
       maxBucket: Int = 1024): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val perBand = nPlanes / bands
     val planeVal: (Int, Column) => Column = (p, i) =>
       (hash(lit(seed), lit(p), i).cast("double") / lit(Int.MaxValue.toDouble))
-    // sign bit per plane: dot(vec, plane) > 0
-    val sigBits = (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)),
-          (v, i) => v.cast("double") * planeVal(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    // per-band bucket: the packed sign bits of that band's planes
+    val bandBuckets = (0 until bands).map { b =>
+      (0 until perBand).map { j =>
+        val p = b * perBand + j
+        val dot = aggregate(
+          zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)),
+            (v, i) => v.cast("double") * planeVal(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
+      }.reduce(_ + _)
     }
-    val base = df.select(
+    val banded = df.select(
       col(idCol).as("_id"), col(vecCol).as("_v"),
-      sigBits.reduce(_ + _).as("_bucket"))
+      posexplode(array(bandBuckets: _*)).as(Seq("_band", "_bucket")))
 
-    bucketPairs(base, Seq("_bucket"), struct(col("_id"), col("_v")), maxBucket)
+    bucketPairs(banded, Seq("_band", "_bucket"), struct(col("_id"), col("_v")), maxBucket)
       .select(
         col("_pair").getField("a").getField("_id").as("id_a"),
         col("_pair").getField("b").getField("_id").as("id_b"),
-        cosineSim(
-          col("_pair").getField("a").getField("_v"),
-          col("_pair").getField("b").getField("_v")).as("cosine"))
+        col("_pair").getField("a").getField("_v").as("_va"),
+        col("_pair").getField("b").getField("_v").as("_vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosineSim(col("_va"), col("_vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
