@@ -61,21 +61,27 @@ object QueriesExtra {
 
   // ------------------------------------------------------- text quality
   /** Token counts, mean word length, stopword ratio per doc (text
-    * analysis operator over the documents table). */
+    * analysis operator over the documents table).
+    *
+    * No interpreted HOF lambdas: Σ token lengths is pure length
+    * arithmetic (chars − single-space separators = length after
+    * translate-out-spaces), and the stopword counter is the native
+    * codegen'd [[graft.functions.TokenInSetCount]] — everything stays in
+    * one WholeStageCodegen scan. */
   def q18TextQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
-    val low = split(lower(col("text")), " ", -1)
     val stops = Seq("the", "a", "table", "row", "value")
     Dedup.spread(t(s, dir, "documents"))
       .select(
         col("doc_id"),
         size(toks).cast("long").as("tokens"),
         round(
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+          length(translate(col("text"), " ", "")).cast("double")
             / size(toks), 6).as("avg_word_len"),
         round(
-          size(filter(low, x => x.isInCollection(stops))).cast("double")
-            / size(low), 6).as("stop_ratio"))
+          graft.functions.TokenInSetCount(lower(col("text")), stops,
+            whitespaceRuns = false).cast("double")
+            / size(toks), 6).as("stop_ratio"))
   }
 
   val q18Sql: String =

@@ -59,35 +59,54 @@ object Similarity {
   }
 
   /** Deterministic centroids: hash-sample `n` corpus vectors, then one
-    * Lloyd refinement step (mean of assigned vectors). */
+    * Lloyd refinement step.
+    *
+    * Scale shape: seed ids come from one bounded single-row aggregate
+    * over the n sampled rows (TakeOrderedAndProject + collect_list of n
+    * structs — never a partitionless window over the corpus), and the
+    * refinement mean is posexplode → groupBy(centroid, pos).avg — the
+    * per-dimension partial aggregation runs map-side, so no agg buffer
+    * ever materializes a cluster's member vectors (a centroid with
+    * millions of members costs the same as one with ten).
+    *
+    * @param dim   retained for API stability / input validation only
+    * @param iters Lloyd refinement passes (each = one distributed
+    *              assign + mean job; the n-row centroid table is
+    *              localCheckpoint'ed between passes so plan lineage
+    *              stays flat)
+    */
   def centroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       n: Int,
-      dim: Int): DataFrame = {
+      dim: Int,
+      iters: Int = 2): DataFrame = {
+    require(n > 0 && dim > 0, "nCentroids and dim must be positive")
     val seeds = corpus
       .withColumn("_r", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("_r"), col(idCol))
       .limit(n)
+      .select(struct(col("_r"), col(idCol).as("_sid"), col(vecCol).as("_ctr")).as("_s"))
+      .groupBy()
+      .agg(array_sort(collect_list(col("_s"))).as("_ss"))
+      .select(posexplode(col("_ss")).as(Seq("_cid", "_s")))
       .select(
-        (row_number().over(Window.orderBy(col("_r"), col(idCol))) - 1).as("centroid_id"),
-        col(vecCol).as("_ctr"))
-    // one Lloyd iteration: assign to nearest seed, mean per cluster
-    val assigned = assign(corpus, seeds, idCol, vecCol)
-    val refined = assigned
-      .groupBy(col("centroid_id"))
-      .agg(collectMean(vecCol, dim).as("_ctr"))
-    refined
-  }
-
-  /** Element-wise mean of an array column (dim known). */
-  private def collectMean(vecCol: String, dim: Int): Column = {
-    val sums = aggregate(
-      collect_list(col(vecCol)),
-      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)),
-      (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
-    transform(sums, s => (s / size(collect_list(col(vecCol)))).cast("float"))
+        col("_cid").cast("long").as("centroid_id"),
+        col("_s").getField("_ctr").as("_ctr"))
+    // Lloyd iterations: assign to nearest centroid, element-wise mean
+    // per cluster via per-(centroid, pos) AVG
+    (0 until iters).foldLeft(seeds) { (ctrs, _) =>
+      assign(corpus, ctrs, idCol, vecCol)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+        .groupBy(col("centroid_id"), col("_pos"))
+        .agg(avg(col("_x").cast("double")).as("_m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_m")))),
+          s => s.getField("_m").cast("float")).as("_ctr"))
+        .localCheckpoint(eager = true)
+    }
   }
 
   /** Assign each corpus row to its nearest centroid (broadcast). */
@@ -125,8 +144,9 @@ object Similarity {
       k: Int = 10,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      dim: Int = 64): DataFrame = {
-    val ctrs = centroids(corpus, idCol, vecCol, nCentroids, dim).cache()
+      dim: Int = 64,
+      iters: Int = 2): DataFrame = {
+    val ctrs = centroids(corpus, idCol, vecCol, nCentroids, dim, iters).cache()
     val bucketed = assign(corpus, ctrs, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("centroid_id"))
       .repartition(col("centroid_id"))

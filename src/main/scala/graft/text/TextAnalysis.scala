@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TokenInSetCount, WhitespaceTokenCount}
+
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, document fingerprinting.
   * Everything is Spark built-ins (codegen'd, no UDFs) so the whole stage
@@ -25,7 +27,7 @@ object TextAnalysis {
   def subwordCountApprox(text: Column): Column =
     size(split(trim(text), "\\s+")) +
       (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) +
-      size(filter(split(text, "[^0-9]+", -1), x => length(x) > 0))
+      regexp_count(text, lit("[0-9]+"))
 
   /** Punctuation ratio: punct chars / total chars. */
   def punctRatio(text: Column): Column =
@@ -33,20 +35,25 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
         / length(text))
 
-  /** Mean word length in characters. */
+  /** Mean word length in characters — pure length arithmetic
+    * (Σ token chars = total chars − whitespace chars), no per-token
+    * lambda, stays inside whole-stage codegen. */
   def meanWordLen(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+    val nToks = WhitespaceTokenCount(text)
+    when(nToks === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s", "")).cast("double") / nToks)
   }
 
-  /** Stopword hit ratio against a wordlist (default: English). */
+  /** Stopword hit ratio against a wordlist (default: English) — one
+    * native byte pass per side ([[WhitespaceTokenCount]] denominator,
+    * [[TokenInSetCount]] numerator), no interpreted HOF lambdas. */
   def stopwordRatio(
       text: Column,
       stopwords: Seq[String] = EnglishStopwords): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks))
+    val nToks = WhitespaceTokenCount(text)
+    when(nToks === 0, lit(0.0)).otherwise(
+      TokenInSetCount(lower(text), stopwords, whitespaceRuns = true)
+        .cast("double") / nToks)
   }
 
   val EnglishStopwords: Seq[String] = Seq(
@@ -71,10 +78,9 @@ object TextAnalysis {
   def langId(
       text: Column,
       markers: Map[String, Seq[String]] = DefaultLangMarkers): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
-        size(filter(toks, t => t.isInCollection(words))).as("score"),
+        TokenInSetCount(lower(text), words, whitespaceRuns = true).as("score"),
         lit(lang).as("lang"))
     }
     // argmax by (score, then reverse-lexicographic lang so ties pick the
