@@ -89,26 +89,36 @@ object TranscriptGen {
     }
   }
 
-  /** Deterministic probe set for point-in-time retrieval tests: mid-stream,
-    * before-first-turn, after-last-turn, exactly-on-turn and beyond-TTL
-    * probes (FIXTURES.md §1).
+  /** Deterministic probe set for point-in-time retrieval tests
+    * (FIXTURES.md §1): `perConv` probes per conversation. The first 4
+    * are the fixed edge cases — before-first-turn (expect nulls),
+    * exactly-on-turn, mid-stream, after-last-turn; probes beyond 4 are
+    * seeded hash-derived mid-stream timestamps, so probe density is
+    * tunable without losing determinism.
     */
-  def probes(spark: SparkSession, ts: Dataset[Turn], perConv: Int = 3, seed: Long = 7L)
+  def probes(spark: SparkSession, ts: Dataset[Turn], perConv: Int = 4, seed: Long = 7L)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    require(perConv >= 1, s"perConv must be >= 1, got $perConv")
     val bounds = ts.groupBy(col("conv_id"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val span = col("hi").cast("double") - col("lo").cast("double")
+    val fixed = Seq(
+      // before first turn (expect nulls)
+      col("lo") - expr("INTERVAL 1 HOUR"),
+      // exactly on a turn
+      col("lo"),
+      // mid-stream
+      to_timestamp(from_unixtime(col("lo").cast("double") + span / 2.0)),
+      // after last turn
+      col("hi") + expr("INTERVAL 10 MINUTES"))
+    val extra = (4 until perConv).map { j =>
+      val frac = pmod(xxhash64(col("conv_id"), lit(seed), lit(j)), lit(1000L))
+        .cast("double") / 1000.0
+      to_timestamp(from_unixtime(col("lo").cast("double") + frac * span))
+    }
     bounds.select(
       col("conv_id"),
-      explode(array(
-        // before first turn (expect nulls)
-        (col("lo") - expr("INTERVAL 1 HOUR")).as("p"),
-        // exactly on a turn
-        col("lo"),
-        // mid-stream
-        to_timestamp(from_unixtime(
-          (col("lo").cast("double") + col("hi").cast("double")) / 2.0)),
-        // after last turn
-        (col("hi") + expr("INTERVAL 10 MINUTES")))).as("ts"))
+      explode(array((fixed ++ extra).take(perConv): _*)).as("ts"))
   }
 }

@@ -27,6 +27,9 @@ class FeatureEngine(
     val registry: FeatureRegistry = new FeatureRegistry,
     val metadataRules: MetadataRules = ConfigValidator.DefaultRules) {
 
+  /** Internal column carrying a source's created_timestamp_column. */
+  private val CreatedTsCol = "_created_ts"
+
   // ------------------------------------------------------------- EP1
   /** Register entities + data sources from an engine config map
     * (YAML shape: tests/fixtures/config/feast_config.yaml). */
@@ -51,10 +54,20 @@ class FeatureEngine(
             throw new IllegalArgumentException(
               s"Source type '$sourceType' is not supported. " +
                 s"Available types: ${SourceSpec.SupportedTypes.mkString("['", "', '", "']")}")
+          // field_mapping is a nested map (source column → exposed name),
+          // not a scalar param (reference: sous_chef.py:41-42)
+          val fieldMapping = m.get("field_mapping") match {
+            case Some(fm: Map[_, _]) => fm.asInstanceOf[Map[Any, Any]]
+              .map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }
+            case _ => Map.empty[String, String]
+          }
+          val allowsMapping =
+            SourceSpec.SourceParams.get(sourceType).exists(_.contains("field_mapping"))
           val params = SourceSpec.filterParams(
             sourceType,
-            (m - "type").map { case (k, v) => k -> String.valueOf(v) })
-          registry.applySource(SourceSpec(name, sourceType, params))
+            (m - "type" - "field_mapping").map { case (k, v) => k -> String.valueOf(v) })
+          registry.applySource(SourceSpec(name, sourceType, params,
+            if (allowsMapping) fieldMapping else Map.empty))
         }
       case _ =>
     }
@@ -72,10 +85,14 @@ class FeatureEngine(
     if (!config.contains("feature_views"))
       throw new IllegalArgumentException("No feature_views section found in YAML")
 
-    val errors = new ConfigValidator(metadataRules).validate(config)
+    // Structured errors (reference: errors.py:12-30): GraftError carries
+    // the ValidationError list for CI (toDict/toJson) while its message
+    // keeps the reference's exact string contract.
+    val errors = new ConfigValidator(metadataRules).validateStructured(config)
     if (errors.nonEmpty)
-      throw new IllegalArgumentException(
-        "Configuration validation failed:\n" + errors.mkString("\n"))
+      throw new GraftError(
+        "Configuration validation failed:\n" + errors.map(_.message).mkString("\n"),
+        errors)
 
     val viewSpecs = scala.collection.mutable.LinkedHashMap[String, FeatureViewSpec]()
     config("feature_views").asInstanceOf[Map[String, Any]].foreach {
@@ -152,20 +169,30 @@ class FeatureEngine(
   // --------------------------------------------------------- compile
   /** Source spec → DataFrame. Parquet is the sandbox physical format;
     * `spark` sources take a catalog table or SQL query (SURVEY §2.1
-    * S1-S3). */
-  def sourceDF(src: SourceSpec): DataFrame = src.sourceType match {
-    case "file" =>
-      spark.read.parquet(src.path.getOrElse(
-        throw new IllegalArgumentException(s"file source '${src.name}' needs a path")))
-    case "spark" =>
-      src.query.map(spark.sql)
-        .orElse(src.table.map(spark.table))
-        .orElse(src.path.map(spark.read.parquet(_)))
-        .getOrElse(throw new IllegalArgumentException(
-          s"spark source '${src.name}' needs query, table or path"))
-    case other =>
-      throw new IllegalArgumentException(
-        s"Source type '$other' has no batch compilation (streaming/online only)")
+    * S1-S3). `field_mapping` renames are applied here, so every
+    * downstream spec name refers to post-mapping columns (reference:
+    * sous_chef.py:41-42; Feast applies the mapping at source load). */
+  def sourceDF(src: SourceSpec): DataFrame = {
+    val raw = src.sourceType match {
+      case "file" =>
+        spark.read.parquet(src.path.getOrElse(
+          throw new IllegalArgumentException(s"file source '${src.name}' needs a path")))
+      case "spark" =>
+        src.query.map(spark.sql)
+          .orElse(src.table.map(spark.table))
+          .orElse(src.path.map(spark.read.parquet(_)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"spark source '${src.name}' needs query, table or path"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Source type '$other' has no batch compilation (streaming/online only)")
+    }
+    src.fieldMapping.foldLeft(raw) { case (df, (from, to)) =>
+      if (!df.columns.contains(from))
+        throw new IllegalArgumentException(
+          s"field_mapping of source '${src.name}' maps missing column '$from'")
+      df.withColumnRenamed(from, to)
+    }
   }
 
   /** Canonical Spark type for a spec dtype — compute in DOUBLE, cast
@@ -178,7 +205,11 @@ class FeatureEngine(
 
   /** Compile a feature view to its unexecuted DataFrame: entity keys +
     * event time + declared features, dtypes normalized. Projection is
-    * pushed to the scan by Catalyst (only spec'd columns are read). */
+    * pushed to the scan by Catalyst (only spec'd columns are read).
+    * If the source declares `created_timestamp_column`, it rides along
+    * as `_created_ts` — the equal-event-timestamp tie-break for
+    * point-in-time retrieval and latest-row materialization (Feast
+    * semantics; reference: sous_chef.py:41). */
   def compileView(view: FeatureViewSpec): DataFrame = {
     val src = registry.getSource(view.sourceName).getOrElse(
       throw new IllegalArgumentException(s"Data source '${view.sourceName}' not found"))
@@ -196,9 +227,12 @@ class FeatureEngine(
     if (errors.nonEmpty)
       throw new IllegalArgumentException(
         "Schema reconciliation failed:\n" + errors.mkString("\n"))
+    val createdSel = src.createdTimestampColumn.toSeq
+      .map(c => col(c).cast("timestamp").as(CreatedTsCol))
     df.select(
       keyCols.map(col) ++
         Seq(col(tsField).cast("timestamp").as("event_timestamp")) ++
+        createdSel ++
         view.schema.map(f => col(f.name).cast(specType(f.dtype)).as(f.name)): _*)
   }
 
@@ -223,7 +257,9 @@ class FeatureEngine(
   }
 
   /** Single-view point-in-time retrieval (used by retrieve and directly
-    * testable). */
+    * testable). Equal event timestamps break on the source's
+    * `created_timestamp_column` when declared (greatest wins — Feast's
+    * point-in-time dedup), else on the engine's stable default. */
   def retrieveView(
       probe: DataFrame,
       viewName: String,
@@ -231,11 +267,13 @@ class FeatureEngine(
     val view = registry.getView(viewName).getOrElse(
       throw new IllegalArgumentException(s"Feature view '$viewName' not found"))
     val compiled = compileView(view)
+    val hasCreated = compiled.columns.contains(CreatedTsCol)
     val keyCols = view.entities.map { en => registry.getEntity(en).get.joinKey }
     val feats =
       if (fullFeatureNames)
         compiled.select(
           (keyCols :+ "event_timestamp").map(col) ++
+            (if (hasCreated) Seq(col(CreatedTsCol)) else Nil) ++
             view.schema.map(f => col(f.name).as(s"${view.name}__${f.name}")): _*)
       else compiled
     AsOfJoin.backward(
@@ -244,8 +282,10 @@ class FeatureEngine(
       probeTsCol = "event_timestamp",
       featTsCol = "_feat_ts",
       ttlSeconds = Some(view.ttlSeconds),
+      tieBreak = if (hasCreated) Seq(CreatedTsCol) else Nil,
       matchedTsName = s"_matched_ts_${view.name}")
       .drop(s"_matched_ts_${view.name}")
+      .drop(CreatedTsCol)
   }
 
   /** Checkpoint-resumable backfill of a compiled feature view to a
@@ -270,15 +310,20 @@ class FeatureEngine(
   }
 
   /** "Materialize latest per key" — the online-store write shape
-    * (SURVEY §2.1 S5): ROW_NUMBER()=1 over key ordered by ts desc. */
+    * (SURVEY §2.1 S5): ROW_NUMBER()=1 over key ordered by ts desc, with
+    * the source's created-timestamp as the equal-ts tie-break when
+    * declared. */
   def materializeLatest(viewName: String): DataFrame = {
     val view = registry.getView(viewName).getOrElse(
       throw new IllegalArgumentException(s"Feature view '$viewName' not found"))
     val compiled = compileView(view)
     val keyCols = view.entities.map(en => registry.getEntity(en).get.joinKey)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("event_timestamp").desc)
+    val ordering =
+      if (compiled.columns.contains(CreatedTsCol))
+        Seq(col("event_timestamp").desc, col(CreatedTsCol).desc)
+      else Seq(col("event_timestamp").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
     compiled.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+      .filter(col("_rn") === 1).drop("_rn", CreatedTsCol)
   }
 }

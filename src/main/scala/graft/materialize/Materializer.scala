@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Resumable, checkpointed batch materialization (north_rule: "resumable
@@ -15,21 +15,26 @@ import org.apache.spark.sql.functions._
   * resume"). Design:
   *
   *  - The backfill range is cut into event-time buckets (daily by
-  *    default). Each bucket is one restartable unit: it writes to
-  *    `out/bucket=<id>/` and, only after the write commits, an atomic
-  *    manifest `out/_manifests/<id>.json` with row count, min/max ts,
-  *    spec hash, wall-clock and input lineage.
+  *    default; a null event time lands in the explicit `__null__` bucket
+  *    rather than being silently dropped). The bucket is the resume
+  *    unit: each gets `out/bucket=<id>/` data plus an atomic manifest
+  *    `out/_manifests/<id>.json` with row count, min/max ts, spec hash,
+  *    wall-clock and input lineage.
   *  - On resume, buckets with a complete manifest for the SAME spec hash
   *    are skipped without touching data. A changed plan (different spec
   *    hash) invalidates old manifests per bucket.
-  *  - Row counts/min/max come from `Observation` on the write itself —
-  *    no second pass over the data.
+  *  - ALL incomplete buckets are written by ONE distributed job
+  *    (`partitionBy` + dynamic partition overwrite), so a 90-day
+  *    backfill over an unpartitioned lake source scans the input once —
+  *    not once per day. Manifests are then derived from the committed
+  *    output (per-bucket stats read back only the ts column of the
+  *    freshly written bucket dir — footer-level work).
   *
-  * At cluster scale each bucket is a distributed job over a pruned
-  * partition range (the filter is on the bucket column, so parquet/
-  * Iceberg partition pruning applies); the driver-side loop is only
-  * checkpoint orchestration. Output is partitioned by the bucket id, so
-  * downstream as-of retrieval over a date range prunes too.
+  * At cluster scale the single write is a distributed job whose shuffle-
+  * free dynamic-partition commit replaces exactly the written `bucket=`
+  * dirs; the driver-side loop is only manifest/checkpoint orchestration.
+  * Output is partitioned by the bucket id, so downstream as-of retrieval
+  * over a date range prunes too.
   */
 object Materializer {
 
@@ -58,11 +63,18 @@ object Materializer {
       .take(8).map("%02x".format(_)).mkString
   }
 
+  /** Bucket id for rows whose event time is null — kept explicit so the
+    * rows are neither lost nor invisibly matched against a null literal. */
+  val NullBucket = "__null__"
+
   /** Materialize `df` to `outDir`, bucketed by `date(tsCol)`, resuming
-    * past completed buckets.
+    * past completed buckets. All incomplete buckets are written in ONE
+    * source scan; manifests commit per bucket afterwards (the resume
+    * unit).
     *
-    * @param failAfter test hook: abort after N completed buckets
-    *                  (simulates a mid-backfill crash)
+    * @param failAfter test hook: abort after N bucket manifests have
+    *                  committed (simulates a crash between the data
+    *                  commit and checkpoint bookkeeping)
     */
   def materialize(
       spark: SparkSession,
@@ -77,15 +89,36 @@ object Materializer {
     val manifestDir = Paths.get(outDir, "_manifests")
     Files.createDirectories(manifestDir)
 
-    val withBucket = df.withColumn("_bucket", to_date(col(tsCol)).cast("string"))
+    val withBucket = df.withColumn(
+      "_bucket", coalesce(to_date(col(tsCol)).cast("string"), lit(NullBucket)))
     // one tiny job to enumerate buckets (scans only the ts column)
     val buckets = withBucket.select(col("_bucket")).distinct()
       .orderBy(col("_bucket")).collect().map(_.getString(0)).toSeq
 
+    val incomplete = buckets
+      .filterNot(b => isComplete(manifestDir.resolve(s"$b.json"), hash)).toSet
+
+    // ONE distributed job writes every incomplete bucket; dynamic
+    // partition overwrite replaces exactly the written bucket= dirs.
+    // The source is scanned once per backfill, not once per bucket.
+    val writeWallMs = if (incomplete.isEmpty) 0L else {
+      val w0 = System.nanoTime()
+      withBucket
+        .filter(col("_bucket").isin(incomplete.toSeq: _*))
+        .withColumnRenamed("_bucket", "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(outDir)
+      (System.nanoTime() - w0) / 1000000L
+    }
+
+    // per-bucket commit stats + manifest = the checkpoint/resume unit;
+    // each stats job reads only the ts column of one new bucket dir
     var done = 0
     val results = buckets.map { bucket =>
       val manifestPath = manifestDir.resolve(s"$bucket.json")
-      if (isComplete(manifestPath, hash)) {
+      if (!incomplete.contains(bucket)) {
         BucketResult(bucket, readRows(manifestPath), None, None, 0L, skipped = true)
       } else {
         failAfter.foreach { n =>
@@ -93,27 +126,25 @@ object Materializer {
             s"injected failure after $n buckets (test hook)")
         }
         val bt0 = System.nanoTime()
-        val obs = new Observation(s"mat_$bucket")
-        val slice = withBucket.filter(col("_bucket") === bucket).drop("_bucket")
-          .observe(obs, count(lit(1)).as("rows"),
+        val stats = spark.read.parquet(s"$outDir/bucket=$bucket")
+          .agg(count(lit(1)).as("rows"),
             min(col(tsCol)).cast("string").as("min_ts"),
             max(col(tsCol)).cast("string").as("max_ts"))
-        slice.write.mode("overwrite").parquet(s"$outDir/bucket=$bucket")
-        val m = obs.get
-        val rows = m("rows").asInstanceOf[Long]
+          .collect().head
+        val rows = stats.getLong(0)
+        val minTs = Option(stats.getString(1))
+        val maxTs = Option(stats.getString(2))
         val wallMs = (System.nanoTime() - bt0) / 1000000L
         writeManifest(manifestPath, Map(
           "bucket" -> bucket,
           "status" -> "complete",
           "spec_hash" -> hash,
           "rows" -> rows,
-          "min_ts" -> m("min_ts"),
-          "max_ts" -> m("max_ts"),
+          "min_ts" -> minTs.orNull,
+          "max_ts" -> maxTs.orNull,
           "wall_ms" -> wallMs) ++ lineage.map { case (k, v) => s"lineage_$k" -> v })
         done += 1
-        BucketResult(bucket, rows,
-          Option(m("min_ts")).map(_.toString), Option(m("max_ts")).map(_.toString),
-          wallMs, skipped = false)
+        BucketResult(bucket, rows, minTs, maxTs, wallMs, skipped = false)
       }
     }
 
@@ -124,6 +155,7 @@ object Materializer {
       "buckets_total" -> buckets.size,
       "buckets_computed" -> report.completed,
       "buckets_resumed" -> report.skipped,
+      "write_wall_ms" -> writeWallMs,
       "total_rows" -> report.totalRows,
       "wall_ms" -> report.wallMs) ++ lineage)
     report

@@ -13,15 +13,25 @@ case class EntitySpec(
 
 /** Pointer to a timestamped event table (reference: sous_chef.py:32-45,
   * 141-160). `params` already filtered per source type.
+  *
+  * `fieldMapping` (reference: sous_chef.py:41-42 `field_mapping`; Feast
+  * renames source columns with it) maps source column → exposed name and
+  * is applied at load time, so every other spec name (`timestamp_field`,
+  * `created_timestamp_column`, entity join keys, view schema fields)
+  * refers to POST-mapping names. `created_timestamp_column` is the
+  * equal-event-timestamp tie-break during point-in-time retrieval
+  * (Feast's point-in-time dedup contract).
   */
 case class SourceSpec(
     name: String,
     sourceType: String,
-    params: Map[String, String]) {
+    params: Map[String, String],
+    fieldMapping: Map[String, String] = Map.empty) {
   def path: Option[String] = params.get("path")
   def table: Option[String] = params.get("table")
   def query: Option[String] = params.get("query")
   def timestampField: Option[String] = params.get("timestamp_field")
+  def createdTimestampColumn: Option[String] = params.get("created_timestamp_column")
 }
 
 object SourceSpec {

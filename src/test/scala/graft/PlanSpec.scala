@@ -55,4 +55,46 @@ class PlanSpec extends SparkTestBase {
     // "*(n) Operator" is the WholeStageCodegen span marker in plan strings
     assert(p.contains("*(1)") && p.contains("*(2)"), s"codegen missing:\n$p")
   }
+
+  test("AQE splits skewed partitions on a hot-conversation join") {
+    // GraftSession enables skewJoin; prove it actually fires: a
+    // TranscriptGen table with 2 conversations at 300x the median turn
+    // count, shuffle-joined on conv_id. Thresholds are lowered to make
+    // test-scale partitions eligible — the mechanism is the same one a
+    // 100TB hot key hits at the default 256MB threshold. Two shape
+    // requirements worth knowing at any scale: (1) AQE can only split a
+    // reduce partition at MAPPER boundaries, so the hot key must span
+    // several input splits (here: a round-robin repartition; at 100TB,
+    // thousands of scan tasks); (2) both join children must be plain
+    // sort-over-shuffle — an aggregate between shuffle and join blocks
+    // the split (it would duplicate rows into the agg).
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val turns = graft.datagen.TranscriptGen
+        .turns(spark, nConvs = 60, avgTurns = 12, hotConvs = 2,
+          hotFactor = 300, seed = 11L)
+        .toDF().repartition(8).cache()
+      val firstTurns = turns.filter(org.apache.spark.sql.functions.col("turn_idx") < 2)
+        .select(org.apache.spark.sql.functions.col("conv_id"),
+          org.apache.spark.sql.functions.col("ts").as("first_ts"))
+      val joined = turns.join(firstTurns, "conv_id")
+      // execute THIS df's queryExecution so the AQE-final plan is visible
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join for the skew test:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot-conversation partition:\n$p")
+      turns.unpersist()
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

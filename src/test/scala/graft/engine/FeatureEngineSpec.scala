@@ -111,6 +111,13 @@ class FeatureEngineSpec extends SparkTestBase {
     assert(ex.getMessage.startsWith("Configuration validation failed:"))
     assert(ex.getMessage.contains(
       "Feature service 'svc' references non-existent feature view: nonexistent_view"))
+    // the same failure carries the structured CI contract
+    val ge = ex.asInstanceOf[GraftError]
+    assert(ge.errors.exists(e =>
+      e.code == ValidationCodes.UnknownReference &&
+        e.path == "feature_services.svc.features" &&
+        e.context.get("view").contains("nonexistent_view")))
+    assert(ge.toJson.contains(""""code": "UNKNOWN_REFERENCE""""))
   }
 
   test("EP2: complex unicode fixture preserved byte-for-byte in tags") {
@@ -193,6 +200,97 @@ class FeatureEngineSpec extends SparkTestBase {
       .select($"customer_id", $"purchase_count")
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(latest === Seq((1L, 100L), (2L, 100L), (3L, 100L)))
+  }
+
+  test("field_mapping renames source columns before compilation") {
+    // reference: sous_chef.py:41-42 — field_mapping on file sources;
+    // Feast renames source columns, so the view schema sees mapped names
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fm").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-02-01 00:00:00"), 10.0),
+      (1L, Timestamp.valueOf("2024-02-02 00:00:00"), 20.0))
+      .toDF("cust", "raw_ts", "raw_score")
+      .write.mode("overwrite").parquet(s"$tmp/src.parquet")
+
+    val e = newEngine()
+    e.applyConfig(Map(
+      "entities" -> Seq(Map("name" -> "customer", "join_key" -> "customer_id")),
+      "data_sources" -> Map("mapped_source" -> Map(
+        "type" -> "file", "path" -> s"$tmp/src.parquet",
+        "timestamp_field" -> "event_timestamp",
+        "field_mapping" -> Map(
+          "cust" -> "customer_id",
+          "raw_ts" -> "event_timestamp",
+          "raw_score" -> "score")))))
+    assert(e.registry.getSource("mapped_source").get.fieldMapping ===
+      Map("cust" -> "customer_id", "raw_ts" -> "event_timestamp", "raw_score" -> "score"))
+
+    e.createFromYamlText(
+      """feature_views:
+        |  mapped_view:
+        |    source_name: mapped_source
+        |    entities: [customer]
+        |    ttl_days: 30
+        |    schema:
+        |      - name: score
+        |        dtype: FLOAT""".stripMargin)
+
+    val probe = Seq((1L, Timestamp.valueOf("2024-02-03 00:00:00")))
+      .toDF("customer_id", "event_timestamp")
+    val out = e.retrieveView(probe, "mapped_view")
+      .select($"score").as[Double].collect().toSeq
+    assert(out === Seq(20.0))
+
+    // mapping a missing column fails loudly, not silently
+    val e2 = newEngine()
+    e2.applyConfig(Map(
+      "entities" -> Seq(Map("name" -> "customer", "join_key" -> "customer_id")),
+      "data_sources" -> Map("bad_source" -> Map(
+        "type" -> "file", "path" -> s"$tmp/src.parquet",
+        "timestamp_field" -> "event_timestamp",
+        "field_mapping" -> Map("nope" -> "customer_id")))))
+    val ex = intercept[IllegalArgumentException](
+      e2.sourceDF(e2.registry.getSource("bad_source").get))
+    assert(ex.getMessage.contains("maps missing column 'nope'"))
+  }
+
+  test("created_timestamp_column breaks equal event-timestamp ties (greatest wins)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cts").toString
+    val ts = Timestamp.valueOf("2024-02-01 00:00:00")
+    // two rows with the SAME event ts; the later-created row must win
+    Seq(
+      (1L, ts, Timestamp.valueOf("2024-02-01 05:00:00"), 111.0),
+      (1L, ts, Timestamp.valueOf("2024-02-01 09:00:00"), 222.0))
+      .toDF("customer_id", "event_timestamp", "created_at", "score")
+      .write.mode("overwrite").parquet(s"$tmp/src.parquet")
+
+    val e = newEngine()
+    e.applyConfig(Map(
+      "entities" -> Seq(Map("name" -> "customer", "join_key" -> "customer_id")),
+      "data_sources" -> Map("cts_source" -> Map(
+        "type" -> "file", "path" -> s"$tmp/src.parquet",
+        "timestamp_field" -> "event_timestamp",
+        "created_timestamp_column" -> "created_at"))))
+    e.createFromYamlText(
+      """feature_views:
+        |  cts_view:
+        |    source_name: cts_source
+        |    entities: [customer]
+        |    ttl_days: 30
+        |    schema:
+        |      - name: score
+        |        dtype: FLOAT""".stripMargin)
+
+    val probe = Seq((1L, Timestamp.valueOf("2024-02-02 00:00:00")))
+      .toDF("customer_id", "event_timestamp")
+    val got = e.retrieveView(probe, "cts_view")
+    assert(!got.columns.contains("_created_ts"))
+    assert(got.select($"score").as[Double].collect().toSeq === Seq(222.0))
+
+    // materializeLatest uses the same tie-break
+    val latest = e.materializeLatest("cts_view")
+      .select($"score").as[Double].collect().toSeq
+    assert(latest === Seq(222.0))
   }
 
   test("registry save/load roundtrip") {

@@ -72,4 +72,50 @@ class MaterializerSpec extends SparkTestBase {
     assert(report.skipped === 0)
     assert(report.completed === report.buckets.size)
   }
+
+  test("null event times land in the explicit __null__ bucket, not lost") {
+    val out = freshOut()
+    val df = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-05-01 10:00:00")), "a"),
+      (2L, None, "b"),
+      (3L, None, "c")).toDF("id", "ts", "v")
+    val report = Materializer.materialize(spark, df, "ts", out)
+    assert(report.totalRows === 3L)
+    val nullBucket = report.buckets.find(_.bucket == Materializer.NullBucket)
+    assert(nullBucket.map(_.rows) === Some(2L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_manifests", "__null__.json")))
+    // round-trip keeps all three rows
+    assert(Materializer.read(spark, out).count() === 3L)
+  }
+
+  test("a multi-bucket backfill scans the source once, not once per bucket") {
+    // parquet-backed source so scans of it are observable in plans
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scan").toString
+    val srcDir = s"$tmp/graft_scan_probe_src.parquet"
+    feats.write.mode("overwrite").parquet(srcDir)
+    val src = spark.read.parquet(srcDir)
+
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.executedPlan.toString.contains("graft_scan_probe_src"))
+          scans.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val report = Materializer.materialize(spark, src, "ts", s"$tmp/out")
+      assert(report.buckets.size >= 3, "test needs a multi-bucket backfill")
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(3000)
+      // exactly 2 executions touch the source: bucket enumeration
+      // (ts column only) + the single partitionBy write. The old
+      // per-bucket loop would show 1 + nBuckets source scans.
+      assert(scans.get() <= 2,
+        s"source scanned ${scans.get()} times for ${report.buckets.size} buckets")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -92,4 +92,49 @@ class ConfigValidatorSpec extends AnyFunSuite {
     assert(errs === Seq(
       "Feature 'f1' in view 'fv': missing required tags: {'description', 'version'}"))
   }
+
+  test("structured error contract: path/code/context alongside the strings") {
+    // reference: errors.py:4-10 ValidationError{path, code, message,
+    // context} + errors.py:18-30 to_dict
+    val v = ConfigValidator()
+    val cfg = Map(
+      "feature_views" -> Map("bad_view" -> Map("entities" -> Seq("e1"))),
+      "feature_services" -> Map("svc" -> Map("features" -> Seq("nope"))))
+    val errs = v.validateStructured(cfg)
+    assert(errs.size === 2)
+
+    val missing = errs.find(_.code == ValidationCodes.MissingField).get
+    assert(missing.path === "feature_views.bad_view")
+    assert(missing.message ===
+      "Feature view 'bad_view' missing required fields: {'schema', 'source_name'}")
+    assert(missing.context("fields") === "schema,source_name")
+
+    val dangling = errs.find(_.code == ValidationCodes.UnknownReference).get
+    assert(dangling.path === "feature_services.svc.features")
+    assert(dangling.context("view") === "nope")
+
+    // strings contract is the structured messages, verbatim
+    assert(v.validate(cfg) === errs.map(_.message))
+  }
+
+  test("GraftError: CI dictionary/JSON shape, catchable as the legacy type") {
+    val errs = Seq(ValidationError(
+      "feature_views.v1.tags", ValidationCodes.MissingTags,
+      "Feature view 'v1': missing required tags: {'team'}",
+      Map("tags" -> "team")))
+    val ex = new GraftError("Configuration validation failed:\n" +
+      errs.head.message, errs)
+    assert(ex.isInstanceOf[IllegalArgumentException])
+
+    val d = ex.toDict
+    assert(String.valueOf(d("message")).startsWith("Configuration validation failed:"))
+    val first = d("errors").asInstanceOf[Seq[Map[String, Any]]].head
+    assert(first("path") === "feature_views.v1.tags")
+    assert(first("code") === "MISSING_TAGS")
+
+    val json = ex.toJson
+    assert(json.contains(""""path": "feature_views.v1.tags""""))
+    assert(json.contains(""""code": "MISSING_TAGS""""))
+    assert(json.contains(""""context": {"tags": "team"}"""))
+  }
 }
