@@ -69,37 +69,59 @@ object Dedup {
   }
 
   // --------------------------------------------------------- minhash
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingle hashes. Pure columnar (transform + aggregate),
-    * no UDF. (Expression form; the scale path is [[minhashSignatures]].) */
-  def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
-    }: _*)
+  /** Second-hash seed for Kirsch–Mitzenmacher double hashing (the
+    * golden-ratio constant, fixed so signatures are reproducible). */
+  private val KmSeed = 0x9E3779B9L
 
-  /** MinHash signatures via explode + hash-aggregate: one pass over the
-    * exploded shingles with `numHashes` codegen'd MIN aggregates (the
-    * map-side partial aggregation collapses each doc before the shuffle),
-    * instead of numHashes interpreted array traversals per row. Returns
-    * (idCol, _sh, _sig). */
+  /** The i-th minhash function: h1 + i·h2 (Kirsch–Mitzenmacher). Two
+    * xxhash64 evaluations per shingle cover ANY number of hash
+    * functions — at 100 TB the per-shingle hashing dominates the
+    * signature stage, so this is 16× less hashing than 32 independent
+    * seeded hashes, with the same LSH guarantees (K-M preserves the
+    * min-wise independence needed for banding in practice). */
+  private def kmHash(s: Column, i: Int): Column =
+    xxhash64(s) + lit(i.toLong) * xxhash64(s, lit(KmSeed))
+
+  /** MinHash signature: for each of `numHashes` K-M hash functions, the
+    * min over shingle hashes. Pure columnar (transform + aggregate), no
+    * UDF. (Expression form; the scale path is [[minhashSignatures]].) */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column = {
+    // evaluate the two base hashes once per shingle, derive all rows
+    val hashed = transform(shinglesCol,
+      s => struct(xxhash64(s).as("h1"), xxhash64(s, lit(KmSeed)).as("h2")))
+    array((0 until numHashes).map { i =>
+      array_min(transform(hashed,
+        h => h.getField("h1") + lit(i.toLong) * h.getField("h2")))
+    }: _*)
+  }
+
+  /** MinHash signatures via explode + hash-aggregate: ONE pass over the
+    * exploded shingles computes `numHashes` codegen'd MIN aggregates
+    * (each input a K-M combination of two shared xxhash64 columns) AND
+    * reassembles the shingle set (needed later for exact verification)
+    * in the same aggregation — the map-side partials collapse each doc
+    * before the shuffle, and the source is never scanned twice (the old
+    * join-back shape recomputed shingling for the verification side).
+    * Returns (idCol → _id, _sh, _sig). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int,
       shingleWidth: Int): DataFrame = {
-    val base = spread(df).select(
+    val exploded = spread(df).select(
       col(idCol).as("_id"),
-      shingles(col(textCol), shingleWidth).as("_sh"))
-    val exploded = base.select(col("_id"), explode(col("_sh")).as("_s"))
+      explode(shingles(col(textCol), shingleWidth)).as("_s"))
+      .select(col("_id"), col("_s"),
+        xxhash64(col("_s")).as("_h1"),
+        xxhash64(col("_s"), lit(KmSeed)).as("_h2"))
     val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(col("_s"), lit(i))).as(s"_h$i")
+      min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_h$i")
     }
-    val sigs = exploded.groupBy(col("_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("_id"),
+    exploded.groupBy(col("_id"))
+      .agg(minAggs.head, (minAggs.tail :+ collect_set(col("_s")).as("_sh")): _*)
+      .select(col("_id"), col("_sh"),
         array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
-    base.join(sigs, "_id")
   }
 
   /** MinHash LSH candidate pairs: signatures cut into `bands` bands of
@@ -122,10 +144,10 @@ object Dedup {
 
     val base = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth)
 
-    // band buckets: hash of (band index, band slice of the signature)
+    // band buckets: hash of (band index, band slice of the signature) —
+    // hash() digests the array column natively (no JSON serialization)
     val bandCols = (0 until bands).map { b =>
-      hash(lit(b), to_json(struct(
-        slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))))
+      hash(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
     }
     val banded = base.select(
       col("_id"), col("_sh"),

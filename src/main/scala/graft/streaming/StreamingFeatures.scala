@@ -93,6 +93,13 @@ object StreamingFeatures {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(ConvState(0L, 0L, 0L))
+            // Buffers ONE group's rows of ONE micro-batch to sort by
+            // event time (cumulative features need in-order turns).
+            // Bounded by (per-conversation arrival rate × trigger
+            // interval), not by conversation length — acceptable for
+            // transcript-shaped streams; a conversation hot enough to
+            // overflow a micro-batch buffer should be routed through the
+            // watermarked windowed path instead.
             val out = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx)).map { t =>
               val toks =
                 if (t.text == null) 0
