@@ -488,6 +488,27 @@ object QueriesExtra {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------- winnowing rolling-hash dedup
+  /** Winnowing (rolling-hash) fingerprint near-dup over corpus + planted
+    * exact copies, restricted to the planted relation: identical text →
+    * identical fingerprint set → every shared-fingerprint bucket pairs
+    * them and overlap = |A∩B|/|A∪B| = exactly 1.0 — DuckDB's expected
+    * set is one (id, id+100000, 1.0) row per document. Near-dup overlap
+    * behavior on mutated text is asserted in DedupSpec, where the
+    * engine-side fingerprints can be compared directly. */
+  def q34WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.winnowNearDup(base.unionByName(copies), "text", "doc_id",
+      k = 16, w = 8, threshold = 0.8)
+      .filter(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L)
+      .select(col("id_a"), col("id_b"), round(col("overlap"), 6).as("overlap"))
+  }
+
+  val q34Sql: String =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS overlap
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -506,7 +527,8 @@ object QueriesExtra {
     "q30_struct_agg" -> (q30StructAgg _),
     "q31_transcript_features" -> (q31TranscriptFeatures _),
     "q32_embed_neardup" -> (q32EmbedNeardup _),
-    "q33_quality_score" -> (q33QualityScore _))
+    "q33_quality_score" -> (q33QualityScore _),
+    "q34_winnow_fingerprint" -> (q34WinnowFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -525,5 +547,6 @@ object QueriesExtra {
     "q29_union_all" -> q29Sql,
     "q30_struct_agg" -> q30Sql,
     "q31_transcript_features" -> q31Sql,
-    "q33_quality_score" -> q33Sql)
+    "q33_quality_score" -> q33Sql,
+    "q34_winnow_fingerprint" -> q34Sql)
 }

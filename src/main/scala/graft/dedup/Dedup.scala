@@ -299,6 +299,48 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ------------------------------------- winnowing rolling-hash dedup
+  /** Near-duplicate pairs via winnowing document fingerprints
+    * (rolling-hash k-grams + window minima; see
+    * [[graft.functions.RollingFingerprints]]): docs sharing a
+    * fingerprint become candidates, pair overlap is COUNTED —
+    * |A∩B| / |A∪B| from a groupBy((id_a,id_b)).count over exploded
+    * shared fingerprints — so no fingerprint array ever travels through
+    * the candidate shuffle (cheaper than minhash: one byte pass per doc,
+    * no shingle explosion).
+    *
+    * Output: (id_a, id_b, overlap) with id_a < id_b, overlap >= threshold.
+    * Buckets above `maxBucket` (boilerplate fingerprints) are dropped —
+    * the standard LSH skew guard; exact dedup owns what they collapse.
+    */
+  def winnowNearDup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 16,
+      w: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 256): DataFrame = {
+    val sized = spread(df).select(
+      col(idCol).as("_id"),
+      graft.functions.RollingFingerprints(col(textCol), k, w).as("_fp"))
+      .select(col("_id"), size(col("_fp")).as("_n"), explode(col("_fp")).as("_f"))
+    val pairs = bucketPairs(sized, Seq("_f"),
+      struct(col("_id"), col("_n")), maxBucket)
+      .select(
+        col("_pair").getField("a").getField("_id").as("id_a"),
+        col("_pair").getField("b").getField("_id").as("id_b"),
+        col("_pair").getField("a").getField("_n").as("_na"),
+        col("_pair").getField("b").getField("_n").as("_nb"))
+    pairs
+      .groupBy(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+      .agg(count(lit(1)).as("_shared"))
+      .withColumn("overlap",
+        col("_shared").cast("double") / (col("_na") + col("_nb") - col("_shared")))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"))
+  }
+
   // ------------------------------------------- embedding near-dup
   /** Embedding-cosine near-duplicates via banded random-hyperplane LSH:
     * `nPlanes` deterministic hyperplanes → sign bits, cut into `bands`
