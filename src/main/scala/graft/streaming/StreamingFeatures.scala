@@ -60,6 +60,26 @@ object StreamingFeatures {
         col("window.start").as("window_start"),
         col("turns"), col("tokens"))
 
+  /** Streaming exact dedup on normalized content: keep the first
+    * occurrence of each fingerprint, drop later duplicates, with
+    * watermark-bounded state (fingerprints older than the watermark are
+    * evicted — the standard pattern for unbounded-stream dedup; an
+    * ingest pipeline at 100 TB/day cannot keep every fingerprint ever
+    * seen in state). Content hashing matches the batch path
+    * ([[graft.text.TextAnalysis.fingerprint]]), so batch backfill and
+    * streaming ingest agree on what is a duplicate.
+    */
+  def streamingDedup(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Running per-conversation state carried across micro-batches. */
   case class ConvState(turns: Long, tokens: Long, toolTurns: Long)
 

@@ -8,6 +8,8 @@ import graft.SparkTestBase
 import graft.datagen.TranscriptGen
 import graft.features.{TranscriptFeatures, Turn}
 
+case class DedupDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 class StreamingFeaturesSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -64,6 +66,27 @@ class StreamingFeaturesSpec extends SparkTestBase {
       .select($"conv_id", $"turns", $"tokens", $"tool_turns")
       .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got === Seq(("c1", 1L, 1L, 0L), ("c1", 2L, 5L, 1L), ("c2", 1L, 2L, 0L)))
+  }
+
+  test("streaming dedup drops in-watermark duplicates, keeps first occurrence") {
+    val data = Seq(
+      DedupDoc(1L, "the quick brown fox", ts("2024-01-01 00:00:00")),
+      DedupDoc(2L, "a completely different document", ts("2024-01-01 00:01:00")),
+      // duplicate of doc 1 after normalization (case + whitespace)
+      DedupDoc(3L, "  THE QUICK   BROWN FOX ", ts("2024-01-01 00:02:00")),
+      DedupDoc(4L, "the quick brown fox", ts("2024-01-01 00:03:00")))
+    val input = MemoryStream[DedupDoc](spark)
+    val out = StreamingFeatures.streamingDedup(input.toDF(), "text")
+    val q = out.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(data)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_stream")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
   }
 
   test("tumbling windowed stats") {
