@@ -60,6 +60,25 @@ class SqlSource {
       selectPart.nonEmpty && splitColumns(selectPart).nonEmpty
     } catch { case _: Exception => false }
 
+  /** Structured form of [[validateQuery]] — emits the reference enum's
+    * INVALID_SQL code (reference: validators.py:7-10) with the specific
+    * format failure as the message when one is identifiable. */
+  def validateQueryStructured(
+      query: String,
+      path: String = "query"): Seq[ValidationError] =
+    if (validateQuery(query)) Nil
+    else {
+      val detail =
+        try {
+          if (query.contains('*')) "SELECT * is not supported"
+          else if (query.toUpperCase.contains("WITH"))
+            "CTEs (WITH clauses) are not supported"
+          else { validateFormat(query); "Query has no parseable columns" }
+        } catch { case e: Exception => String.valueOf(e.getMessage) }
+      Seq(ValidationError(path, ValidationCodes.InvalidSql, detail,
+        Map("query" -> query.take(200))))
+    }
+
   /** reference: sql_sources.py:67-75 (_extract_select) */
   def extractSelect(lines: Seq[String]): String =
     lines.map { line =>

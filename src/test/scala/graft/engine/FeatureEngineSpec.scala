@@ -304,4 +304,23 @@ class FeatureEngineSpec extends SparkTestBase {
     assert(r2.getEntity("driver_id") === e.registry.getEntity("driver_id"))
     assert(r2.getSource("driver_source") === e.registry.getSource("driver_source"))
   }
+
+  test("registry loads pre-fieldMapping JSON (backward compatibility)") {
+    // a round-1 registry.json has no fieldMapping key; the default must
+    // apply on load rather than failing extraction
+    val old =
+      """{
+        | "entities":[{"name":"e","joinKey":"k","description":""}],
+        | "sources":[{"name":"s","sourceType":"file",
+        |             "params":{"path":"p","timestamp_field":"ts"}}],
+        | "views":[], "services":[]
+        |}""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft-reg-old", ".json")
+    java.nio.file.Files.write(p, old.getBytes("UTF-8"))
+    val r = new FeatureRegistry
+    r.load(p.toString)
+    val src = r.getSource("s").get
+    assert(src.fieldMapping === Map.empty)
+    assert(src.path === Some("p"))
+  }
 }

@@ -213,4 +213,25 @@ class SqlValidationSpec extends AnyFunSuite {
     assert(LegacySqlValidator.validateConfig(
       Map("query" -> "SELECT a FROM t", "timestamp_field" -> "ts", "database" -> "db")))
   }
+
+  test("structured INVALID_SQL errors carry the reference enum code") {
+    val s = new SqlSource
+    // the reference's format contract is line-shaped: SELECT list lines,
+    // then a FROM line (sql_sources.py:8-50)
+    assert(s.validateQueryStructured("SELECT\n a AS x\nFROM t") === Nil)
+
+    val star = s.validateQueryStructured("SELECT * FROM t", path = "sources.s1.query")
+    assert(star.size === 1)
+    assert(star.head.code === ValidationCodes.InvalidSql)
+    assert(star.head.path === "sources.s1.query")
+    assert(star.head.message === "SELECT * is not supported")
+
+    val cte = s.validateQueryStructured("WITH x AS (SELECT a FROM t) SELECT a FROM x")
+    assert(cte.head.code === ValidationCodes.InvalidSql)
+    assert(cte.head.message === "CTEs (WITH clauses) are not supported")
+
+    val noFrom = s.validateQueryStructured("SELECT a")
+    assert(noFrom.head.code === ValidationCodes.InvalidSql)
+    assert(noFrom.head.context("query") === "SELECT a")
+  }
 }
