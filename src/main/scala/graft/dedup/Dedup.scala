@@ -96,13 +96,12 @@ object Dedup {
   }
 
   /** MinHash signatures via explode + hash-aggregate: ONE pass over the
-    * exploded shingles computes `numHashes` codegen'd MIN aggregates
-    * (each input a K-M combination of two shared xxhash64 columns) AND
-    * reassembles the shingle set (needed later for exact verification)
-    * in the same aggregation — the map-side partials collapse each doc
-    * before the shuffle, and the source is never scanned twice (the old
-    * join-back shape recomputed shingling for the verification side).
-    * Returns (idCol → _id, _sh, _sig). */
+    * exploded shingles computes `numHashes` codegen'd MIN aggregates,
+    * each input a K-M combination of two shared xxhash64 columns; the
+    * map-side partials collapse each doc before the shuffle, and only
+    * 2×numHashes longs per doc travel through it (shingle sets do NOT —
+    * verification re-derives them for the candidate subset only).
+    * Returns (idCol → _id, _sig). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
@@ -112,21 +111,34 @@ object Dedup {
     val exploded = spread(df).select(
       col(idCol).as("_id"),
       explode(shingles(col(textCol), shingleWidth)).as("_s"))
-      .select(col("_id"), col("_s"),
+      .select(col("_id"),
         xxhash64(col("_s")).as("_h1"),
         xxhash64(col("_s"), lit(KmSeed)).as("_h2"))
     val minAggs = (0 until numHashes).map { i =>
       min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_h$i")
     }
     exploded.groupBy(col("_id"))
-      .agg(minAggs.head, (minAggs.tail :+ collect_set(col("_s")).as("_sh")): _*)
-      .select(col("_id"), col("_sh"),
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("_id"),
         array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
   }
+
+  /** Shingle sets keyed by id — the verification payload table. */
+  private def shingleSets(
+      df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
+    spread(df).select(col(idCol).as("_id"), shingles(col(textCol), w).as("_sh"))
 
   /** MinHash LSH candidate pairs: signatures cut into `bands` bands of
     * rows; docs sharing any band bucket become candidates; candidates
     * are verified with exact shingle-set Jaccard >= `threshold`.
+    *
+    * Scale shape: the banding shuffle carries ONLY (id, band, bucket) —
+    * never the shingle arrays (the old form replicated every doc's
+    * shingle set once per band through the exchange: `bands`× corpus
+    * amplification at 100 TB). Verification joins the shingle sets back
+    * for the candidate subset only; candidates ≪ corpus, so AQE
+    * broadcasts them and the corpus-side shingle table is scanned, not
+    * shuffled.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, distinct.
     */
@@ -150,18 +162,20 @@ object Dedup {
       hash(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
     }
     val banded = base.select(
-      col("_id"), col("_sh"),
+      col("_id"),
       posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
 
-    val candidates = bucketPairs(banded, Seq("_band", "_bucket"),
-      struct(col("_id"), col("_sh")), maxBucket)
+    val cand = bucketPairs(banded, Seq("_band", "_bucket"),
+      struct(col("_id")), maxBucket)
       .select(
         col("_pair").getField("a").getField("_id").as("id_a"),
-        col("_pair").getField("b").getField("_id").as("id_b"),
-        col("_pair").getField("a").getField("_sh").as("sh_a"),
-        col("_pair").getField("b").getField("_sh").as("sh_b"))
+        col("_pair").getField("b").getField("_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    val sh = shingleSets(df, textCol, idCol, shingleWidth)
+    val candidates = cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
     verifyJaccard(candidates, threshold)
   }
 
@@ -378,17 +392,23 @@ object Dedup {
         when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
       }.reduce(_ + _)
     }
+    // banding shuffle carries only (id, band, bucket); vectors are
+    // joined back for the candidate subset (AQE broadcasts it), so the
+    // corpus is never amplified `bands`× through an exchange
     val banded = df.select(
-      col(idCol).as("_id"), col(vecCol).as("_v"),
+      col(idCol).as("_id"),
       posexplode(array(bandBuckets: _*)).as(Seq("_band", "_bucket")))
 
-    bucketPairs(banded, Seq("_band", "_bucket"), struct(col("_id"), col("_v")), maxBucket)
+    val cand = bucketPairs(banded, Seq("_band", "_bucket"), struct(col("_id")), maxBucket)
       .select(
         col("_pair").getField("a").getField("_id").as("id_a"),
-        col("_pair").getField("b").getField("_id").as("id_b"),
-        col("_pair").getField("a").getField("_v").as("_va"),
-        col("_pair").getField("b").getField("_v").as("_vb"))
+        col("_pair").getField("b").getField("_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    val vecs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    cand
+      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), "id_a")
+      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosineSim(col("_va"), col("_vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
