@@ -363,9 +363,12 @@ object Dedup {
     * exact cosine >= threshold. A single table (bands = 1) at r = 16
     * bits has recall ≈ (1-θ/π)^16 ≈ 0.18 at cosine 0.95 — banding makes
     * recall controllable: at nPlanes = 32, bands = 4 (r = 8), recall at
-    * cosine 0.95 is 1-(1-0.9^8)^4 ≈ 0.9. Hyperplane components derive
-    * from hash(seed, planeIdx, dimIdx), so the whole pipeline is
-    * deterministic and distributable.
+    * cosine 0.95 is 1-(1-0.9^8)^4 ≈ 0.9. Hyperplanes are deterministic
+    * gaussians from (seed, planeIdx), precomputed on the driver and
+    * evaluated by the native fused
+    * [[graft.functions.PlaneSignBuckets]] expression — one dense loop
+    * per row instead of nPlanes interpreted array traversals over a
+    * full-corpus scan.
     */
   def embeddingNearDup(
       df: DataFrame,
@@ -378,26 +381,14 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = 1024): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val perBand = nPlanes / bands
-    val planeVal: (Int, Column) => Column = (p, i) =>
-      (hash(lit(seed), lit(p), i).cast("double") / lit(Int.MaxValue.toDouble))
-    // per-band bucket: the packed sign bits of that band's planes
-    val bandBuckets = (0 until bands).map { b =>
-      (0 until perBand).map { j =>
-        val p = b * perBand + j
-        val dot = aggregate(
-          zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)),
-            (v, i) => v.cast("double") * planeVal(p, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
-      }.reduce(_ + _)
-    }
+    val planes = graft.functions.PlaneSignBuckets.gaussianPlanes(nPlanes, dim, seed)
     // banding shuffle carries only (id, band, bucket); vectors are
     // joined back for the candidate subset (AQE broadcasts it), so the
     // corpus is never amplified `bands`× through an exchange
     val banded = df.select(
       col(idCol).as("_id"),
-      posexplode(array(bandBuckets: _*)).as(Seq("_band", "_bucket")))
+      posexplode(graft.functions.PlaneSignBuckets(col(vecCol), planes, bands))
+        .as(Seq("_band", "_bucket")))
 
     val cand = bucketPairs(banded, Seq("_band", "_bucket"), struct(col("_id")), maxBucket)
       .select(
