@@ -43,22 +43,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   // ------------------------------------------------------- shingling
-  /** w-word shingles of normalized text (distinct).
-    *
-    * IMPORTANT: higher-order functions are interpreted (no codegen, no
-    * common-subexpression elimination inside the lambda), so the token
-    * split must NOT appear inside the per-shingle lambda — it would
-    * re-run once per shingle. [[shinglesFromTokens]] takes a materialized
-    * token-array column; this wrapper is only safe because it binds the
-    * tokens through a named lambda variable via `transform` over a
-    * 1-element array. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
-    // evaluate toks exactly once: thread it through a lambda binding
-    element_at(transform(array(toks), t => shinglesFromTokens(t, w)), 1)
-  }
+  /** w-word shingles of normalized text (distinct) — the native fused
+    * [[graft.functions.WordShingles]] expression: one byte pass, no
+    * interpreted per-shingle lambda, no token-array materialization
+    * (output equals the composed
+    * `array_distinct(transform(sequence(...), concat_ws(slice(split(
+    * lower(regexp_replace(trim(..))))))))` form byte-for-byte; the
+    * equivalence is property-tested in WordShinglesSpec). */
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.functions.WordShingles(text, w)
 
-  /** w-word shingles from a pre-tokenized array column. */
+  /** w-word shingles from a pre-tokenized array column (composed form;
+    * kept for callers that already hold a token array). */
   def shinglesFromTokens(toks: Column, w: Int): Column = {
     val n = size(toks)
     array_distinct(
