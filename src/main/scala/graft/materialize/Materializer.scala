@@ -162,9 +162,39 @@ object Materializer {
   }
 
   /** Read back a materialized output (all buckets); the `bucket=`
-    * partition column is an implementation detail and is dropped. */
+    * partition column is an implementation detail and is dropped.
+    *
+    * Materialization is INCREMENTAL by event-time range: buckets
+    * written by earlier runs (e.g. an earlier backfill window) are
+    * preserved and included here — a bucket is only rewritten when the
+    * current input covers it and its manifest is missing or from a
+    * different spec hash. */
   def read(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("bucket")
+
+  /** Read a date range of a materialized output with PARTITION PRUNING
+    * on the bucket directories — a 3-day feature read over a 5-year
+    * backfill touches 3 bucket dirs, not the whole sink. Bounds are
+    * inclusive `yyyy-MM-dd` strings; the `__null__` bucket never
+    * matches a range. The filter compares against the partition column
+    * in its inferred type (DATE when every bucket is a date, STRING
+    * when a `__null__` bucket forced string inference), so it stays a
+    * partition filter rather than degrading to a post-scan predicate.
+    */
+  def readRange(
+      spark: SparkSession,
+      outDir: String,
+      fromDate: String,
+      toDate: String): DataFrame = {
+    val df = spark.read.parquet(outDir)
+    val bucketType = df.schema("bucket").dataType
+    val (lo, hi) = bucketType match {
+      case org.apache.spark.sql.types.DateType =>
+        (lit(fromDate).cast("date"), lit(toDate).cast("date"))
+      case _ => (lit(fromDate), lit(toDate))
+    }
+    df.filter(col("bucket") >= lo && col("bucket") <= hi).drop("bucket")
+  }
 
   // ------------------------------------------------------------ manifests
 

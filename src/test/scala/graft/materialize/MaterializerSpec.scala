@@ -89,6 +89,32 @@ class MaterializerSpec extends SparkTestBase {
     assert(Materializer.read(spark, out).count() === 3L)
   }
 
+  test("readRange prunes bucket partitions instead of scanning the sink") {
+    val out = freshOut()
+    Materializer.materialize(spark, feats, "ts", out)
+    val allDays = Materializer.read(spark, out)
+      .select(to_date($"ts").cast("string")).distinct()
+      .as[String].collect().sorted
+    assert(allDays.length >= 5, "test needs a multi-day backfill")
+    val (from, to) = (allDays(1), allDays(2))
+
+    val ranged = Materializer.readRange(spark, out, from, to)
+    ranged.collect()
+    // correct rows: exactly the two days
+    val expected = Materializer.read(spark, out)
+      .filter(to_date($"ts").cast("string").between(from, to)).count()
+    assert(ranged.count() === expected)
+    assert(expected > 0)
+
+    // and the plan prunes: the bucket predicate is a PartitionFilter on
+    // the scan, not a post-scan Filter
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"),
+      s"bucket range did not become a partition filter:\n$plan")
+  }
+
   test("a multi-bucket backfill scans the source once, not once per bucket") {
     // parquet-backed source so scans of it are observable in plans
     val tmp = java.nio.file.Files.createTempDirectory("graft-scan").toString
