@@ -230,47 +230,19 @@ object Dedup {
   }
 
   // ---------------------------------------------------------- simhash
-  /** 64-bit SimHash from token hashes: per-bit weighted vote over all
-    * token hashes. Columnar: fold token hash array into 64 bit-counters.
-    */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(lower(regexp_replace(trim(text), "\\s+", " ")), " "))
-    val hashes = transform(toks, t => xxhash64(t))
-    // bit b of result = majority vote of bit b across token hashes —
-    // single pass: fold the hash array into a 64-wide vote vector
-    val votes = aggregate(
-      hashes,
-      array((0 until 64).map(_ => lit(0L)): _*),
-      (acc, h) => {
-        val deltas = array((0 until 64).map { b =>
-          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)
-        }: _*)
-        zip_with(acc, deltas, (a, d) => a + d)
-      })
-    (0 until 64).map { b =>
-      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  /** 64-bit SimHash: per-bit majority vote over the distinct tokens'
+    * xxhash64 values — the native one-pass
+    * [[graft.functions.SimHash64]] expression (same normalization and
+    * hash function as the previous composed form; the old explode →
+    * 64-SUM-aggregate pipeline shuffled one row per document token,
+    * this is a scan-local scalar with no shuffle at all). */
+  def simhash(text: Column): Column = graft.functions.SimHash64(text)
 
-  /** SimHash per row via explode + hash-aggregate (the scale path): one
-    * pass over exploded tokens with 64 codegen'd SUM aggregates; partial
-    * aggregation collapses each doc map-side. Returns (idCol → _sh64). */
-  def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = array_distinct(
-      split(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")), " "))
-    val exploded = spread(df).select(col(idCol).as("_id"), explode(toks).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
-    val voteAggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1, 1L)
-        .otherwise(-1L)).as(s"_v$b")
-    }
-    exploded.groupBy(col("_id"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("_id"),
-        (0 until 64).map { b =>
-          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as("_sh64"))
-  }
+  /** SimHash per row (scan-local, shuffle-free). Returns (idCol → _sh64). */
+  def simhashDF(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(df).select(
+      col(idCol).as("_id"),
+      graft.functions.SimHash64(col(textCol)).as("_sh64"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
