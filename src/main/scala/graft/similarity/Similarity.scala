@@ -109,27 +109,31 @@ object Similarity {
     }
   }
 
-  /** Assign each corpus row to its nearest centroid (broadcast). */
+  /** Collect the (bounded-by-construction) centroid table to the
+    * driver, sorted by id — the input to the native nearest-centroid
+    * expression. */
+  private def collectCentroids(ctrs: DataFrame): (Seq[Long], Seq[Seq[Float]]) = {
+    val local = ctrs.select(col("centroid_id"), col("_ctr")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1).toSeq
+    (local.map(_._1), local.map(_._2))
+  }
+
+  /** Assign each corpus row to its nearest centroid — the native fused
+    * [[graft.functions.NearestCentroids]] expression over a driver-
+    * collected centroid table with precomputed norms: one dot product
+    * per centroid per row, no interpreted broadcast-struct fold on the
+    * corpus scan. */
   def assign(
       corpus: DataFrame,
       ctrs: DataFrame,
       idCol: String,
       vecCol: String): DataFrame = {
-    val withAll = graft.dedup.Dedup.spread(corpus).crossJoin(broadcast(
-      ctrs.groupBy().agg(collect_list(struct(col("centroid_id"), col("_ctr"))).as("_all"))))
-    withAll
-      .withColumn("_best",
-        aggregate(
-          col("_all"),
-          struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cid")),
-          (best, c) => {
-            val s = Dedup.cosineSim(col(vecCol), c.getField("_ctr"))
-            when(s > best.getField("sim"),
-              struct(s.as("sim"), c.getField("centroid_id").cast("long").as("cid")))
-              .otherwise(best)
-          }))
-      .withColumn("centroid_id", col("_best").getField("cid"))
-      .drop("_all", "_best")
+    val (ids, vecs) = collectCentroids(ctrs)
+    graft.dedup.Dedup.spread(corpus).withColumn(
+      "centroid_id",
+      element_at(
+        graft.functions.NearestCentroids(col(vecCol), ids, vecs, k = 1), 1))
   }
 
   /** IVF top-k: probe only the `nProbe` nearest centroid buckets per
@@ -147,24 +151,20 @@ object Similarity {
       dim: Int = 64,
       iters: Int = 2): DataFrame = {
     val ctrs = centroids(corpus, idCol, vecCol, nCentroids, dim, iters).cache()
-    val bucketed = assign(corpus, ctrs, idCol, vecCol)
+    val (cids, cvecs) = collectCentroids(ctrs)
+    val bucketed = graft.dedup.Dedup.spread(corpus)
+      .withColumn("centroid_id", element_at(
+        graft.functions.NearestCentroids(col(vecCol), cids, cvecs, k = 1), 1))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("centroid_id"))
       .repartition(col("centroid_id"))
 
-    // per-query probe list: nProbe nearest centroids
+    // per-query probe list: nProbe nearest centroids (same native
+    // expression, k = nProbe)
     val qAssigned = queries
       .select(col(queryIdCol).as("query_id"), col(vecCol).as("_qv"))
-      .crossJoin(broadcast(
-        ctrs.groupBy().agg(collect_list(struct(col("centroid_id"), col("_ctr"))).as("_all"))))
-      .withColumn("_probes",
-        slice(
-          transform(
-            array_sort(transform(col("_all"), c =>
-              struct((-Dedup.cosineSim(col("_qv"), c.getField("_ctr"))).as("negSim"),
-                c.getField("centroid_id").cast("long").as("cid")))),
-            s => s.getField("cid")),
-          1, nProbe))
-      .select(col("query_id"), col("_qv"), explode(col("_probes")).as("centroid_id"))
+      .select(col("query_id"), col("_qv"),
+        explode(graft.functions.NearestCentroids(
+          col("_qv"), cids, cvecs, k = nProbe)).as("centroid_id"))
 
     val scored = bucketed.join(qAssigned, Seq("centroid_id"))
       .withColumn("cosine", Dedup.cosineSim(col("_qv"), col("_cv")))
