@@ -509,6 +509,97 @@ object QueriesExtra {
     """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS overlap
       |FROM documents""".stripMargin
 
+  // -------------------------------------- pretraining pipeline (e2e)
+  /** The full pretraining-corpus cleaning composition over documents +
+    * planted exact copies (+100000) + planted mutated near-dups
+    * (+200000): exact dedup → minhash-LSH near-dup drop (greater id of
+    * every ≥0.8 pair) → language filter (en) → quality filter (≥0.75).
+    * DuckDB replays every stage exactly (md5 dedup, all-pairs shingle
+    * Jaccard, marker-argmax langid, quality arithmetic), so the whole
+    * pipeline is hash-gated end-to-end. */
+  def q35PipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ", -1)
+    val exactCopies = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val mutated = base.select(
+      (col("doc_id") + 200000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"))
+    val corpus = base.unionByName(exactCopies).unionByName(mutated)
+    graft.pipeline.PretrainPipeline.clean(corpus, "text", "doc_id")
+      .select(col("doc_id"), col("lang_pred"), col("quality"))
+  }
+
+  val q35Sql: String = {
+    val m = TextAnalysis.DefaultLangMarkers.toSeq.sortBy(_._1)
+    val scores = m.map { case (lang, words) =>
+      s"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), " +
+        s"x -> x IN (${words.map(w => s"'$w'").mkString(", ")}))) AS s_$lang"
+    }.mkString(",\n   ")
+    val langs = m.map(_._1)
+    val greatest = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val stops = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val norm = "LOWER(REGEXP_REPLACE(TRIM(text),'\\s+',' ','g'))"
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       | exact_copies AS (SELECT doc_id + 100000 AS doc_id, text FROM base),
+       | mutated AS (
+       |  SELECT doc_id + 200000 AS doc_id,
+       |   array_to_string(string_split(text, ' ')[1:GREATEST(LEN(string_split(text,' '))-2, 1)], ' ') AS text
+       |  FROM base),
+       | corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exact_copies
+       |            UNION ALL SELECT * FROM mutated),
+       | exact AS (
+       |  SELECT doc_id, text FROM (
+       |   SELECT doc_id, text,
+       |    ROW_NUMBER() OVER (PARTITION BY md5($norm) ORDER BY doc_id) AS rn
+       |   FROM corpus) WHERE rn = 1),
+       | sh AS (
+       |  SELECT doc_id,
+       |   CASE WHEN LEN(string_split($norm, ' ')) < 3
+       |        THEN [$norm]
+       |        ELSE list_distinct(list_transform(
+       |          range(0, LEN(string_split($norm, ' ')) - 2),
+       |          i -> array_to_string(string_split($norm, ' ')[i+1:i+3], ' ')))
+       |   END AS grams
+       |  FROM exact),
+       | drops AS (
+       |  SELECT DISTINCT b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |     / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+       | surv AS (
+       |  SELECT e.doc_id, e.text FROM exact e
+       |  LEFT JOIN drops d ON e.doc_id = d.id_b WHERE d.id_b IS NULL),
+       | sc AS (
+       |  SELECT doc_id, text,
+       |   $scores
+       |  FROM surv),
+       | lng AS (
+       |  SELECT doc_id, text, CASE $cases END AS lang_pred
+       |  FROM (SELECT *, $greatest AS m FROM sc)),
+       | qm AS (
+       |  SELECT doc_id, lang_pred,
+       |   CASE WHEN TRIM(text) = '' THEN 0
+       |        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS toks,
+       |   CASE WHEN LEN(text) = 0 THEN 0.0
+       |        ELSE CAST(LEN(text) - LEN(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))
+       |             AS DOUBLE) / LEN(text) END AS punct_ratio,
+       |   CASE WHEN LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) = 0 THEN 0.0
+       |        ELSE CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+       |               x -> x IN ($stops))) AS DOUBLE)
+       |             / LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) END AS stop_ratio
+       |  FROM lng),
+       | scored AS (
+       |  SELECT doc_id, lang_pred,
+       |   ROUND((
+       |     (CASE WHEN toks BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+       |     + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+       |     + LEAST(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+       |  FROM qm)
+       |SELECT doc_id, lang_pred, quality FROM scored
+       |WHERE lang_pred = 'en' AND quality >= 0.75""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -528,7 +619,8 @@ object QueriesExtra {
     "q31_transcript_features" -> (q31TranscriptFeatures _),
     "q32_embed_neardup" -> (q32EmbedNeardup _),
     "q33_quality_score" -> (q33QualityScore _),
-    "q34_winnow_fingerprint" -> (q34WinnowFingerprint _))
+    "q34_winnow_fingerprint" -> (q34WinnowFingerprint _),
+    "q35_pipeline_clean" -> (q35PipelineClean _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -548,5 +640,6 @@ object QueriesExtra {
     "q30_struct_agg" -> q30Sql,
     "q31_transcript_features" -> q31Sql,
     "q33_quality_score" -> q33Sql,
-    "q34_winnow_fingerprint" -> q34Sql)
+    "q34_winnow_fingerprint" -> q34Sql,
+    "q35_pipeline_clean" -> q35Sql)
 }

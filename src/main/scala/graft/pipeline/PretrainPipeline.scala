@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end pretraining-corpus cleaning — the composition the engine
+  * exists for, as one call:
+  *
+  *  1. exact dedup — min-id canonical row per normalized-content
+  *     fingerprint (single hash shuffle);
+  *  2. near-duplicate removal — MinHash+LSH candidate pairs at
+  *     `nearDupThreshold` exact-verified Jaccard; for every surviving
+  *     pair the GREATER id is dropped (deterministic, order-free rule —
+  *     a doc is dropped iff it is the greater side of ANY ≥threshold
+  *     pair, which over-drops slightly versus connected-components
+  *     canonicalization but needs no iterative clustering);
+  *  3. language filter — marker-wordlist argmax ∈ `langs`;
+  *  4. quality filter — composite pretraining-quality score ≥
+  *     `minQuality`.
+  *
+  * Every stage is the library's own scale-shaped operator (LSH banding
+  * shuffles ids only, native expressions on all scan-hot scalars), so
+  * the whole pipeline is shuffle-bounded: one exchange for exact dedup,
+  * the banding/candidate exchanges of LSH, and map-only filters.
+  * Output: surviving rows plus `lang_pred` and `quality` columns.
+  */
+object PretrainPipeline {
+
+  case class Config(
+      langs: Set[String] = Set("en"),
+      minQuality: Double = 0.75,
+      nearDupThreshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleWidth: Int = 3,
+      maxBucket: Int = 128)
+
+  def clean(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      cfg: Config = Config()): DataFrame = {
+    val exact = Dedup.exact(df, textCol, idCol)
+    val drops = Dedup.minhashLsh(exact, textCol, idCol,
+      numHashes = cfg.numHashes, bands = cfg.bands,
+      shingleWidth = cfg.shingleWidth, threshold = cfg.nearDupThreshold,
+      maxBucket = cfg.maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(drops, Seq(idCol), "left_anti")
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&
+        col("quality") >= cfg.minQuality)
+  }
+}
