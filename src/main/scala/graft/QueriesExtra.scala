@@ -600,6 +600,37 @@ object QueriesExtra {
        |WHERE lang_pred = 'en' AND quality >= 0.75""".stripMargin
   }
 
+  // --------------------------------------------- subword token counts
+  /** BPE-ish subword count + whitespace token count (SURVEY §2.6 F15
+    * family; the testdata documents are punctuation/digit-free, so the
+    * text is enriched with a deterministic doc_id-derived suffix —
+    * identically on both sides — to exercise the punctuation and
+    * digit-run terms). */
+  def q36SubwordCount(s: SparkSession, dir: String): DataFrame =
+    Dedup.spread(t(s, dir, "documents"))
+      .withColumn("etext", concat(
+        col("text"), lit(" v"), col("doc_id").cast("string"),
+        lit(".0; rev-"), pmod(col("doc_id"), lit(7)).cast("string")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.subwordCountApprox(col("etext")).cast("long").as("subwords"),
+        TextAnalysis.tokenCountRegex(col("etext")).cast("long").as("ws_tokens"))
+
+  val q36Sql: String =
+    """WITH e AS (
+      | SELECT doc_id,
+      |  text || ' v' || CAST(doc_id AS VARCHAR) || '.0; rev-'
+      |       || CAST(doc_id % 7 AS VARCHAR) AS etext
+      | FROM documents)
+      |SELECT doc_id,
+      | CAST(LEN(STRING_SPLIT_REGEX(TRIM(etext), '\s+'))
+      |  + (LEN(etext) - LEN(REGEXP_REPLACE(etext, '[[:punct:]]', '', 'g')))
+      |  + LEN(REGEXP_EXTRACT_ALL(etext, '[0-9]+')) AS BIGINT) AS subwords,
+      | CAST(CASE WHEN TRIM(etext) = '' THEN 0
+      |      ELSE LEN(STRING_SPLIT_REGEX(TRIM(etext), '\s+')) END AS BIGINT)
+      |   AS ws_tokens
+      |FROM e""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -620,7 +651,8 @@ object QueriesExtra {
     "q32_embed_neardup" -> (q32EmbedNeardup _),
     "q33_quality_score" -> (q33QualityScore _),
     "q34_winnow_fingerprint" -> (q34WinnowFingerprint _),
-    "q35_pipeline_clean" -> (q35PipelineClean _))
+    "q35_pipeline_clean" -> (q35PipelineClean _),
+    "q36_subword_count" -> (q36SubwordCount _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -641,5 +673,6 @@ object QueriesExtra {
     "q31_transcript_features" -> q31Sql,
     "q33_quality_score" -> q33Sql,
     "q34_winnow_fingerprint" -> q34Sql,
-    "q35_pipeline_clean" -> q35Sql)
+    "q35_pipeline_clean" -> q35Sql,
+    "q36_subword_count" -> q36Sql)
 }
