@@ -169,9 +169,14 @@ class FeatureEngine(
   // --------------------------------------------------------- compile
   /** Source spec → DataFrame. Parquet is the sandbox physical format;
     * `spark` sources take a catalog table or SQL query (SURVEY §2.1
-    * S1-S3). `field_mapping` renames are applied here, so every
-    * downstream spec name refers to post-mapping columns (reference:
-    * sous_chef.py:41-42; Feast applies the mapping at source load). */
+    * S1-S3) — which is also the Iceberg path (north_rule): an Iceberg
+    * table registered in the session catalog is consumed through the
+    * same `table` param with zero engine changes (partition pruning,
+    * snapshot reads and metadata-level filters come from the Iceberg
+    * DSv2 connector underneath the identical plan). `field_mapping`
+    * renames are applied here, so every downstream spec name refers to
+    * post-mapping columns (reference: sous_chef.py:41-42; Feast applies
+    * the mapping at source load). */
   def sourceDF(src: SourceSpec): DataFrame = {
     val raw = src.sourceType match {
       case "file" =>
