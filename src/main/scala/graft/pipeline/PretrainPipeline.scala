@@ -38,12 +38,30 @@ object PretrainPipeline {
       shingleWidth: Int = 3,
       maxBucket: Int = 128)
 
+  /** @param stageDir when set, the exact-dedup result is materialized
+    *                  there once and downstream stages read the files —
+    *                  without it, the plan references the exact-dedup
+    *                  subtree from three places (LSH signatures, LSH
+    *                  verification, the anti-join base) and Spark
+    *                  recomputes its shuffle each time. At test scale
+    *                  recompute is fine; at 100 TB staging turns three
+    *                  corpus shuffles into one shuffle + one write +
+    *                  cheap columnar re-scans (the standard staged-
+    *                  pipeline layout on a lake).
+    */
   def clean(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      cfg: Config = Config()): DataFrame = {
-    val exact = Dedup.exact(df, textCol, idCol)
+      cfg: Config = Config(),
+      stageDir: Option[String] = None): DataFrame = {
+    val exact0 = Dedup.exact(df, textCol, idCol)
+    val exact = stageDir match {
+      case Some(dir) =>
+        exact0.write.mode("overwrite").parquet(s"$dir/exact_dedup")
+        df.sparkSession.read.parquet(s"$dir/exact_dedup")
+      case None => exact0
+    }
     val drops = Dedup.minhashLsh(exact, textCol, idCol,
       numHashes = cfg.numHashes, bands = cfg.bands,
       shingleWidth = cfg.shingleWidth, threshold = cfg.nearDupThreshold,

@@ -32,6 +32,26 @@ class PretrainPipelineSpec extends SparkTestBase {
     assert(out.forall(_._3 >= 0.75))
   }
 
+  test("staged clean (stageDir) equals the unstaged plan") {
+    val docs = Seq(
+      (1L, "the value of a table row is in the scan and the plan is for " +
+        "the query of the data to be the best one of all the good runs"),
+      (2L, "the value of a table row is in the scan and the plan is for " +
+        "the query of the data to be the best one of all the good runs"),
+      (3L, "a completely different english text with the usual words of " +
+        "the language that is good and long enough to pass the filters of this")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val unstaged = PretrainPipeline.clean(docs, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val staged = PretrainPipeline.clean(docs, "text", "doc_id",
+      stageDir = Some(dir))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(staged === unstaged)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "exact_dedup")))
+  }
+
   test("clean is deterministic across runs and partitionings") {
     val docs = graft.datagen.TranscriptGen
       .turns(spark, nConvs = 30, avgTurns = 6, seed = 3L)
