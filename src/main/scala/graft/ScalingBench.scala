@@ -19,7 +19,7 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val targetTurns = args.headOption.map(_.toInt).getOrElse(2000000)
-    val cpuLevels = args.lift(1).getOrElse("2,8,32").split(",").map(_.trim.toInt).toSeq
+    val levelsArg = args.lift(1).getOrElse("2,8,32")
     val nConvs = targetTurns / 25
     val path = s"/tmp/graft_scaling_turns_$nConvs.parquet"
 
@@ -34,46 +34,66 @@ object ScalingBench {
       }
       s.stop()
     }
+    // "gen" = generate-only (used by tools/scaling_pinned.sh so the
+    // pinned level JVMs never pay generation inside their core budget)
+    if (levelsArg == "gen") { println("""{"bench":"scaling_gen_done"}"""); return }
+    val cpuLevels = levelsArg.split(",").map(_.trim.toInt).toSeq
 
-    val results = cpuLevels.map { cpus =>
-      val s = GraftSession.local(cpus, s"scaling-$cpus")
+    // INTERLEAVED rounds: each round times every cpu level once, so the
+    // levels sample the same host-load windows — a load spike inflates
+    // the same round at both levels instead of silently penalizing
+    // whichever level happened to run later (the sandbox host's
+    // delivered CPU drifts across minutes). Per-level wall = min over
+    // rounds (the standard noise-robust estimator); JIT/codegen and the
+    // OS page cache persist across the per-round sessions, so only the
+    // very first round pays warmup and the min discards it.
+    val rounds = 3
+    val matSamples = scala.collection.mutable.Map.empty[Int, List[Double]]
+      .withDefaultValue(Nil)
+    val asofSamples = scala.collection.mutable.Map.empty[Int, List[Double]]
+      .withDefaultValue(Nil)
+    var nTurns = 0L
+
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+
+    for (round <- 1 to rounds; cpus <- cpuLevels) {
+      val s = GraftSession.local(cpus, s"scaling-$cpus-r$round")
       import s.implicits._
       val turns = s.read.parquet(path)
-      val n = turns.count()
-
-      // warmup, untimed: primes the OS page cache with the full input
-      // (all columns) and JIT/codegen, so every level reads warm
-      TranscriptFeatures.turnFeaturesNarrow(turns)
-        .write.mode("overwrite").format("noop").save()
-
-      // min of 3 reps: the sandbox host's delivered CPU drifts across
-      // minutes; min is the standard noise-robust wall-clock estimator
-      def timeMin(reps: Int)(f: => Unit): Double =
-        (1 to reps).map { _ =>
-          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
-        }.min
-
-      val matSec = timeMin(3) {
+      if (round == 1 && cpus == cpuLevels.head) {
+        nTurns = turns.count()
+        // untimed warmup: page cache + JIT/codegen
         TranscriptFeatures.turnFeaturesNarrow(turns)
           .write.mode("overwrite").format("noop").save()
       }
+      matSamples(cpus) = time {
+        TranscriptFeatures.turnFeaturesNarrow(turns)
+          .write.mode("overwrite").format("noop").save()
+      } :: matSamples(cpus)
 
       val feats = TranscriptFeatures.turnFeaturesNarrow(turns)
         .select("conv_id", "ts", "turn_idx", "turns_so_far", "tokens_so_far")
       val probes = TranscriptGen.probes(s, turns.as[graft.features.Turn])
         .withColumnRenamed("ts", "probe_ts")
-      val asofSec = timeMin(3) {
+      asofSamples(cpus) = time {
         AsOfJoin.backward(probes, feats, Seq("conv_id"), "probe_ts", "ts",
           Some(30L * 86400L), Seq("turn_idx"))
           .write.mode("overwrite").format("noop").save()
-      }
+      } :: asofSamples(cpus)
       s.stop()
+    }
 
-      val tps = n / matSec
+    val results = cpuLevels.map { cpus =>
+      val matSec = matSamples(cpus).min
+      val asofSec = asofSamples(cpus).min
+      val tps = nTurns / matSec
       println(
-        s"""{"bench":"scaling","cpus":$cpus,"turns":$n,""" +
+        s"""{"bench":"scaling","cpus":$cpus,"turns":$nTurns,""" +
         s""""materialize_sec":${f"$matSec%.2f"},"turns_per_sec":${f"$tps%.0f"},""" +
-        s""""asof_sec":${f"$asofSec%.2f"}}""")
+        s""""asof_sec":${f"$asofSec%.2f"},""" +
+        s""""mat_samples":[${matSamples(cpus).reverse.map(x => f"$x%.2f").mkString(",")}]}""")
       (cpus, tps, asofSec)
     }
 

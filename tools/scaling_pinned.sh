@@ -1,0 +1,63 @@
+#!/bin/bash
+# Two-cluster-size scaling evidence with OS-level core pinning.
+#
+# Why pinning: `local[N]` caps Spark TASK threads at N, but the JVM's
+# GC / shuffle / IO threads still run on every idle host core — on a
+# quiet host the "2-core" level leaks extra parallelism, inflating its
+# throughput and understating the measured 2->8 efficiency (observed
+# range 0.4-0.9 unpinned, purely from host load). taskset confines the
+# whole JVM to exactly N cores, so each level IS an N-core machine —
+# the faithful stand-in for N vs 4N executors.
+#
+# The two pinned levels are additionally INTERLEAVED across script
+# rounds (N, 4N, N, 4N) so both sample the same host-load windows;
+# per-level throughput = best across rounds (each round's JSON itself
+# carries a 3-sample min).
+#
+# usage: tools/scaling_pinned.sh [turns] [N] [4N] [rounds]
+set -e
+cd "$(dirname "$0")/.."
+TURNS=${1:-12000000}
+N=${2:-2}
+M=${3:-8}
+ROUNDS=${4:-2}
+MEM=${SPARK_DRIVER_MEM:-24g}
+
+# pre-generate the input unpinned (full parallelism, untimed)
+SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.ScalingBench $TURNS gen" >/dev/null 2>&1
+
+run_level() { # $1 = cpus, $2 = core list
+  SPARK_DRIVER_MEM=$MEM taskset -c "$2" \
+    sbt -batch "runMain graft.ScalingBench $TURNS $1" 2>/dev/null \
+    | grep -oE '\{"bench":"scaling".*' | tail -1
+}
+
+OUT=""
+for r in $(seq 1 "$ROUNDS"); do
+  OUT="$OUT
+$(run_level "$N" "0-$((N-1))")
+$(run_level "$M" "0-$((M-1))")"
+done
+echo "$OUT" | grep -E '"bench"'
+TMPF=$(mktemp)
+echo "$OUT" > "$TMPF"
+python3 - "$N" "$M" "$TMPF" <<'EOF'
+import json, sys
+lo, hi = int(sys.argv[1]), int(sys.argv[2])
+best = {}
+for line in open(sys.argv[3]):
+    line = line.strip()
+    if not line:
+        continue
+    d = json.loads(line)
+    c = d["cpus"]
+    if c not in best or d["turns_per_sec"] > best[c]["turns_per_sec"]:
+        best[c] = d
+eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / (hi / lo)
+print(json.dumps({"bench": "scaling_efficiency_pinned",
+                  "from_cpus": lo, "to_cpus": hi,
+                  "lo_turns_per_sec": best[lo]["turns_per_sec"],
+                  "hi_turns_per_sec": best[hi]["turns_per_sec"],
+                  "efficiency": round(eff, 3)}))
+EOF
+rm -f "$TMPF"
