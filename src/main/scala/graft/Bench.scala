@@ -38,14 +38,24 @@ object Bench {
     val turns = spark.read.parquet(turnsPath)
     val nTurns = turns.count()
 
+    // Every timing below is min-of-2: the first execution of a plan pays
+    // one-off JIT + codegen-compilation cost that a long-lived session
+    // never sees again — single-shot numbers overstated the r2 suite ~2×
+    // vs independently verified warm re-runs (VERDICT r2 §What's wrong #1).
+    def minOf2(run: () => Unit): Double = {
+      def once(): Double = {
+        val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+      }
+      math.min(once(), once())
+    }
+
     // feature materialization (narrow scale path, parquet sink) — the
     // sf0.1 table is small, so this records operator latency; the
     // throughput/scaling record is ScalingBench at 12M turns (BASELINE.md)
     val matPath = s"/tmp/graft_bench_mat_sf${sf}_c$cpus"
-    val t0 = System.nanoTime()
-    TranscriptFeatures.turnFeaturesNarrow(turns)
-      .write.mode("overwrite").parquet(matPath)
-    val matSec = (System.nanoTime() - t0) / 1e9
+    val matSec = minOf2(() =>
+      TranscriptFeatures.turnFeaturesNarrow(turns)
+        .write.mode("overwrite").parquet(matPath))
     val turnsPerSec = nTurns / matSec
 
     // as-of retrieval latency: 4 probes/conversation against the features
@@ -53,21 +63,27 @@ object Bench {
       .select("conv_id", "ts", "turn_idx", "turns_so_far", "tokens_so_far")
     val probes = TranscriptGen.probes(spark,
       turns.as[graft.features.Turn]).withColumnRenamed("ts", "probe_ts")
-    val t1 = System.nanoTime()
-    val nOut = AsOfJoin.backward(probes, feats, Seq("conv_id"), "probe_ts", "ts",
-      Some(30L * 86400L), Seq("turn_idx")).count()
-    val asofSec = (System.nanoTime() - t1) / 1e9
+    var nOut = 0L
+    val asofSec = minOf2(() =>
+      nOut = AsOfJoin.backward(probes, feats, Seq("conv_id"), "probe_ts", "ts",
+        Some(30L * 86400L), Seq("turn_idx")).count())
 
     // ---- per-query loop over the driver testdata SF ----
     // A failing query must surface as an "errors" entry, never as a
     // normal-looking timing (a silent fallback hides regressions).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
-      (name, (System.nanoTime() - q0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val q0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}") }
+        ((System.nanoTime() - q0) / 1e9, err)
+      }
+      val (t1, e1) = once()
+      // don't re-run a failing query; its error is the result
+      val (t2, e2) = if (e1.isDefined) (t1, e1) else once()
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
 
     def jesc(s: String): String = s.flatMap {
