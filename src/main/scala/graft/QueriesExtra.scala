@@ -249,16 +249,33 @@ object QueriesExtra {
 
   // ------------------------------------------------------------ IVF ANN
   /** IVF approximate top-k — the scale path (probes nProbe/nCentroids of
-    * the corpus). Approximate by construction → rows-only check; recall
-    * vs brute force asserted in SimilaritySpec. */
+    * the corpus) — over corpus + planted exact copies (vec_id+100000),
+    * restricted to the planted relation: IVF is DETERMINISTIC for an
+    * identical vector (same nearest-centroid assignment, same probe
+    * list — NearestCentroids breaks ties by centroid id), so the copy is
+    * always probed and scores cosine exactly 1.0; the query itself (also
+    * in the corpus at cosine 1.0, smaller id wins the tie-break) takes
+    * rank 1, the copy rank 2 — DuckDB's expected set is one
+    * (id, id+100000, 1.0, 2) row per copied vector. General recall
+    * (≥0.9 on planted NEAR neighbors, probed-fraction bound on uniform
+    * data) stays asserted in SimilaritySpec. */
   def q24KnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
     Similarity.ivfTopK(
-      emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding",
+      base.filter(col("vec_id") < 100), base.unionByName(copies),
+      "vec_id", "vec_id", "embedding",
       k = 5, nCentroids = 16, nProbe = 4, dim = 64)
+      .filter(col("neighbor_id") === col("query_id") + 100000L)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  val q24Sql: String =
+    """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+      | 1.0 AS cosine, CAST(2 AS BIGINT) AS rank
+      |FROM embeddings WHERE vec_id < 100""".stripMargin
 
   // ----------------------------------------------------------- simhash
   /** SimHash near-dup pairs over corpus + planted exact copies,
@@ -516,7 +533,14 @@ object QueriesExtra {
     * every ≥0.8 pair) → language filter (en) → quality filter (≥0.75).
     * DuckDB replays every stage exactly (md5 dedup, all-pairs shingle
     * Jaccard, marker-argmax langid, quality arithmetic), so the whole
-    * pipeline is hash-gated end-to-end. */
+    * pipeline is hash-gated end-to-end.
+    *
+    * Runs STAGED: the exact-dedup intermediate is materialized once to a
+    * deterministic /tmp dir and the three downstream consumers (LSH
+    * signatures, LSH verification join-back, the anti-join base) re-scan
+    * the parquet instead of recomputing the dedup shuffle — at 100 TB
+    * that is one corpus shuffle + one write instead of three shuffles
+    * (PipelineSpec gates the plan shape). */
   def q35PipelineClean(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val toks = split(col("text"), " ", -1)
@@ -525,7 +549,9 @@ object QueriesExtra {
       (col("doc_id") + 200000L).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"))
     val corpus = base.unionByName(exactCopies).unionByName(mutated)
-    graft.pipeline.PretrainPipeline.clean(corpus, "text", "doc_id")
+    val stage = s"/tmp/graft_q35_stage_${dir.hashCode & 0x7fffffff}"
+    graft.pipeline.PretrainPipeline.clean(corpus, "text", "doc_id",
+      stageDir = Some(stage))
       .select(col("doc_id"), col("lang_pred"), col("quality"))
   }
 
@@ -631,6 +657,95 @@ object QueriesExtra {
       |   AS ws_tokens
       |FROM e""".stripMargin
 
+  // ---------------------------------------------- connected components
+  /** Connected-components labeling (near-dup cluster canonicalization,
+    * [[graft.dedup.ConnectedComponents]]) on a deterministic planted
+    * graph: edges (i, i+1) for i % 5 != 4 (both endpoints restricted to
+    * existing doc ids) make the components exact runs of 5 consecutive
+    * ids, so DuckDB computes every expected label arithmetically —
+    * component = id - id % 5 — while the engine has to earn it by
+    * actual iterative label propagation. The one possible isolate (a
+    * max id ≡ 0 mod 5 has neither an outgoing nor an incoming edge) is
+    * excluded on both sides. */
+  def q37ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    val edges = ids.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    graft.dedup.ConnectedComponents.label(edges)
+      .select(col("id"), col("component"))
+  }
+
+  val q37Sql: String =
+    """SELECT doc_id AS id, doc_id - doc_id % 5 AS component
+      |FROM documents
+      |WHERE NOT (doc_id % 5 = 0
+      |           AND doc_id = (SELECT MAX(doc_id) FROM documents))""".stripMargin
+
+  // ------------------------------------------------ multimodal metadata
+  /** Multimodal metadata path, driver-gated: a deterministic media table
+    * is DERIVED from `documents` by pure doc_id arithmetic (identically
+    * replayable in DuckDB — no RNG, no binary payload), then run through
+    * [[graft.multimodal.Multimodal.resizeMeta]] (image dims capped at
+    * maxSide 256, aspect preserved) and
+    * [[graft.multimodal.Multimodal.sampleFrames]] (1 frame/s over video
+    * durations). Only the decode STUB is excluded — exactly the part
+    * that needs real codecs. */
+  def q38MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    val idx = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      lit(null).cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")), idx)
+          .as("media_type"),
+        element_at(array(lit("png"), lit("wav"), lit("mp4")), idx).as("format"),
+        (lit(16L) + pmod(col("doc_id") * 37L, lit(1024L))).cast("int").as("width"),
+        (lit(16L) + pmod(col("doc_id") * 53L, lit(1024L))).cast("int").as("height"),
+        pmod(col("doc_id") * 997L, lit(10000L)).as("duration_ms")).as("meta"))
+    val resized = graft.multimodal.Multimodal.resizeMeta(media, maxSide = 256)
+    val frames = graft.multimodal.Multimodal.sampleFrames(resized, everyMs = 1000L)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_ts_ms")).as("last_frame_ts"))
+    resized.select(
+        col("media_id"),
+        col("meta").getField("media_type").as("media_type"),
+        col("meta").getField("width").as("width"),
+        col("meta").getField("height").as("height"))
+      .join(frames, Seq("media_id"), "left")
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        coalesce(col("last_frame_ts"), lit(-1L)).as("last_frame_ts"))
+  }
+
+  val q38Sql: String =
+    """WITH m AS (
+      | SELECT doc_id AS media_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |  16 + (doc_id * 37) % 1024 AS width,
+      |  16 + (doc_id * 53) % 1024 AS height,
+      |  (doc_id * 997) % 10000 AS duration_ms
+      | FROM documents),
+      | r AS (
+      | SELECT media_id, media_type,
+      |  CASE WHEN media_type = 'image'
+      |       THEN CAST(ROUND(width * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT)
+      |       ELSE CAST(width AS INT) END AS width,
+      |  CASE WHEN media_type = 'image'
+      |       THEN CAST(ROUND(height * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT)
+      |       ELSE CAST(height AS INT) END AS height
+      | FROM m),
+      | f AS (
+      | SELECT media_id, COUNT(*) AS n_frames, MAX(ts) AS last_frame_ts
+      | FROM (SELECT media_id,
+      |        UNNEST(generate_series(0, GREATEST(duration_ms - 1, 0), 1000)) AS ts
+      |       FROM m WHERE media_type = 'video')
+      | GROUP BY media_id)
+      |SELECT r.media_id, r.media_type, r.width, r.height,
+      | COALESCE(f.n_frames, 0) AS n_frames,
+      | COALESCE(f.last_frame_ts, -1) AS last_frame_ts
+      |FROM r LEFT JOIN f ON r.media_id = f.media_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -652,7 +767,9 @@ object QueriesExtra {
     "q33_quality_score" -> (q33QualityScore _),
     "q34_winnow_fingerprint" -> (q34WinnowFingerprint _),
     "q35_pipeline_clean" -> (q35PipelineClean _),
-    "q36_subword_count" -> (q36SubwordCount _))
+    "q36_subword_count" -> (q36SubwordCount _),
+    "q37_connected_components" -> (q37ConnectedComponents _),
+    "q38_media_meta" -> (q38MediaMeta _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -663,6 +780,7 @@ object QueriesExtra {
     "q21_neardup_jaccard" -> q21Sql,
     "q22_minhash_candidates" -> q22Sql,
     "q23_knn_brute" -> q23Sql,
+    "q24_knn_ivf" -> q24Sql,
     "q25_simhash" -> q25Sql,
     "q32_embed_neardup" -> q32Sql,
     "q26_percentile" -> q26Sql,
@@ -674,5 +792,7 @@ object QueriesExtra {
     "q33_quality_score" -> q33Sql,
     "q34_winnow_fingerprint" -> q34Sql,
     "q35_pipeline_clean" -> q35Sql,
-    "q36_subword_count" -> q36Sql)
+    "q36_subword_count" -> q36Sql,
+    "q37_connected_components" -> q37Sql,
+    "q38_media_meta" -> q38Sql)
 }

@@ -12,11 +12,15 @@ import graft.text.TextAnalysis
   *  1. exact dedup — min-id canonical row per normalized-content
   *     fingerprint (single hash shuffle);
   *  2. near-duplicate removal — MinHash+LSH candidate pairs at
-  *     `nearDupThreshold` exact-verified Jaccard; for every surviving
-  *     pair the GREATER id is dropped (deterministic, order-free rule —
-  *     a doc is dropped iff it is the greater side of ANY ≥threshold
-  *     pair, which over-drops slightly versus connected-components
-  *     canonicalization but needs no iterative clustering);
+  *     `nearDupThreshold` exact-verified Jaccard, canonicalized by
+  *     [[Canonicalize]]: `PairDrop` (default) drops the GREATER id of
+  *     every ≥threshold pair — deterministic, order-free, zero extra
+  *     passes, but treats each pair locally (a doc can be dropped while
+  *     its only near-dup was itself dropped); `Components` keeps exactly
+  *     one representative (min id) per TRANSITIVE similarity cluster via
+  *     [[graft.dedup.ConnectedComponents]] — the standard pretraining-
+  *     pipeline semantics, at the cost of O(log diameter) label-
+  *     propagation rounds over the candidate-pair edge list;
   *  3. language filter — marker-wordlist argmax ∈ `langs`;
   *  4. quality filter — composite pretraining-quality score ≥
   *     `minQuality`.
@@ -29,6 +33,15 @@ import graft.text.TextAnalysis
   */
 object PretrainPipeline {
 
+  /** Near-dup canonicalization rule (see object scaladoc). */
+  sealed trait Canonicalize
+  object Canonicalize {
+    /** Drop the greater id of every ≥threshold pair (pair-local). */
+    case object PairDrop extends Canonicalize
+    /** Keep only the min id of each transitive similarity cluster. */
+    case object Components extends Canonicalize
+  }
+
   case class Config(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.75,
@@ -36,7 +49,8 @@ object PretrainPipeline {
       numHashes: Int = 32,
       bands: Int = 16,
       shingleWidth: Int = 3,
-      maxBucket: Int = 128)
+      maxBucket: Int = 128,
+      canonicalize: Canonicalize = Canonicalize.PairDrop)
 
   /** @param stageDir when set, the exact-dedup result is materialized
     *                  there once and downstream stages read the files —
@@ -62,11 +76,17 @@ object PretrainPipeline {
         df.sparkSession.read.parquet(s"$dir/exact_dedup")
       case None => exact0
     }
-    val drops = Dedup.minhashLsh(exact, textCol, idCol,
+    val pairs = Dedup.minhashLsh(exact, textCol, idCol,
       numHashes = cfg.numHashes, bands = cfg.bands,
       shingleWidth = cfg.shingleWidth, threshold = cfg.nearDupThreshold,
       maxBucket = cfg.maxBucket)
-      .select(col("id_b").as(idCol)).distinct()
+    val drops = cfg.canonicalize match {
+      case Canonicalize.PairDrop =>
+        pairs.select(col("id_b").as(idCol)).distinct()
+      case Canonicalize.Components =>
+        graft.dedup.ConnectedComponents.dropSet(pairs)
+          .select(col("id").as(idCol))
+    }
     exact.join(drops, Seq(idCol), "left_anti")
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))

@@ -52,6 +52,49 @@ class PretrainPipelineSpec extends SparkTestBase {
       java.nio.file.Paths.get(dir, "exact_dedup")))
   }
 
+  test("Components canonicalization: 3-chain A~B~C keeps exactly the min id") {
+    // 20 English words; each mutation drops the last 2, so 3-gram Jaccard
+    // is 16/18 ≈ 0.889 (A,B), 14/16 = 0.875 (B,C) but only 14/18 ≈ 0.778
+    // (A,C) — a transitive chain whose ends are BELOW the 0.8 threshold
+    val a = "the data table is a good row of value and the scan is in " +
+      "the plan for this query fast"
+    val b = a.split(" ").dropRight(2).mkString(" ")
+    val c = b.split(" ").dropRight(2).mkString(" ")
+    val other = "a completely different english text with the usual words " +
+      "of the language that is good and long enough to pass the filters"
+    val docs = Seq((10L, a), (11L, b), (12L, c), (20L, other))
+      .toDF("doc_id", "text")
+
+    val kept = PretrainPipeline.clean(docs, "text", "doc_id",
+      cfg = PretrainPipeline.Config(
+        canonicalize = PretrainPipeline.Canonicalize.Components))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(10L, 20L))
+  }
+
+  test("staged clean reads the dedup result from files: no Window recompute in plan") {
+    val docs = Seq(
+      (1L, "the value of a table row is in the scan and the plan is for " +
+        "the query of the data to be the best one of all the good runs"),
+      (2L, "a completely different english text with the usual words of " +
+        "the language that is good and long enough to pass the filters of this")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage-plan").toString
+
+    val staged = PretrainPipeline.clean(docs, "text", "doc_id",
+      stageDir = Some(dir))
+    staged.collect() // AQE-final plan only after execution
+    val stagedPlan = staged.queryExecution.executedPlan.toString
+    // the exact-dedup subtree (row_number Window over the fingerprint) ran
+    // ONCE at stage-write time; the query plan re-scans parquet instead
+    assert(!stagedPlan.contains("Window"),
+      s"staged plan recomputes the dedup window:\n$stagedPlan")
+
+    val unstaged = PretrainPipeline.clean(docs, "text", "doc_id")
+    unstaged.collect()
+    assert(unstaged.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("clean is deterministic across runs and partitionings") {
     val docs = graft.datagen.TranscriptGen
       .turns(spark, nConvs = 30, avgTurns = 6, seed = 3L)
