@@ -294,6 +294,12 @@ object Dedup {
     * Output: (id_a, id_b, overlap) with id_a < id_b, overlap >= threshold.
     * Buckets above `maxBucket` (boilerplate fingerprints) are dropped —
     * the standard LSH skew guard; exact dedup owns what they collapse.
+    * The drop is applied to a CONSISTENT universe: over-cap fingerprints
+    * leave both the shared counts (numerator) and the per-doc sizes
+    * (denominator), so overlap is |A∩B| / |A∪B| over exactly the
+    * surviving fingerprints — sizing docs over ALL fingerprints would
+    * bias overlap downward for docs containing boilerplate and let true
+    * near-dups fall below threshold silently.
     */
   def winnowNearDup(
       df: DataFrame,
@@ -303,11 +309,16 @@ object Dedup {
       w: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = 256): DataFrame = {
-    val sized = spread(df).select(
+    val fps = spread(df).select(
       col(idCol).as("_id"),
-      graft.functions.RollingFingerprints(col(textCol), k, w).as("_fp"))
-      .select(col("_id"), size(col("_fp")).as("_n"), explode(col("_fp")).as("_f"))
-    val pairs = bucketPairs(sized, Seq("_f"),
+      explode(graft.functions.RollingFingerprints(col(textCol), k, w)).as("_f"))
+    // fingerprints are distinct per doc, so the bucket size counts docs
+    val surviving = fps
+      .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("_f"))))
+      .filter(col("_bs") <= maxBucket)
+      .drop("_bs")
+    val sizes = surviving.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    val pairs = bucketPairs(surviving.join(sizes, "_id"), Seq("_f"),
       struct(col("_id"), col("_n")), maxBucket)
       .select(
         col("_pair").getField("a").getField("_id").as("id_a"),

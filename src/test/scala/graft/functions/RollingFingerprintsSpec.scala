@@ -93,4 +93,30 @@ class RollingFingerprintsSpec extends SparkTestBase {
       assert(pairs.contains((i, i + 2000L)), s"mutated copy $i not found")
     }
   }
+
+  test("winnowNearDup: boilerplate dropped by maxBucket leaves numerator " +
+    "and denominator consistent (exact copies stay at 1.0)") {
+    // 10 unrelated docs + 1 exact-copy pair all share a long boilerplate
+    // prefix whose fingerprints land in a bucket of 12 > maxBucket = 4.
+    // With a consistent universe the copies still overlap at exactly 1.0;
+    // sizing docs over ALL fingerprints would push them below 1.0.
+    val boiler = "this text is the standard license header that every " +
+      "document in the corpus repeats verbatim before its actual content " +
+      "begins and it is long enough to emit several fingerprints"
+    val docs = ((0 until 10).map(i => (i.toLong, s"$boiler unique tail $i " +
+        s"with words ${"x" * (i + 3)} ${"y" * (2 * i + 5)} $i end")) ++
+      Seq((100L, s"$boiler the copied document body is right here"),
+          (101L, s"$boiler the copied document body is right here")))
+      .toDF("doc_id", "text")
+
+    val pairs = Dedup.winnowNearDup(docs, "text", "doc_id", k = 16, w = 8,
+      threshold = 0.5, maxBucket = 4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, o) => (a, b) -> o }.toMap
+
+    assert(pairs.get((100L, 101L)).contains(1.0),
+      s"exact copies not at overlap 1.0: $pairs")
+    // the boilerplate alone must not pair up unrelated docs
+    assert(pairs.keySet === Set((100L, 101L)))
+  }
 }
