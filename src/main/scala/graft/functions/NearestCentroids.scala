@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *
   * Ordering: cosine descending, ties broken by smaller centroid id
   * (deterministic). Centroids whose cosine is NaN (zero-norm inputs)
-  * are skipped; a vector with null elements yields an empty result.
+  * or whose dimension differs from the input vector are skipped; a
+  * vector with null elements yields an empty result.
   */
 case class NearestCentroids(
     child: Expression,
@@ -92,10 +93,15 @@ object NearestCentroids {
       var c = 0
       while (c < mat.length) {
         val ctr = mat(c)
-        val dims = math.min(ctr.length, n)
-        var dot = 0.0
-        var j = 0
-        while (j < dims) { dot += vec.getFloat(j).toDouble * ctr(j); j += 1 }
+        // skip dimension-mismatched centroids entirely — a truncated dot
+        // over full-length norms is quietly wrong (CosineSimilarity
+        // returns null on length mismatch for the same reason)
+        val dot = if (ctr.length != n) Double.NaN else {
+          var d = 0.0
+          var j = 0
+          while (j < n) { d += vec.getFloat(j).toDouble * ctr(j); j += 1 }
+          d
+        }
         val cos = dot / (vnorm * norms(c))
         if (!cos.isNaN) {
           // insertion into the running top-k (cos desc, id asc on ties)

@@ -28,6 +28,11 @@ case class PlaneSignBuckets(
 
   require(bands >= 1 && planes.nonEmpty && planes.size % bands == 0,
     s"bands ($bands) must divide nPlanes (${planes.size})")
+  // a band's sign bits are packed into one Long — more than 64 planes
+  // per band would silently wrap `1L << j` (j mod 64) and collide
+  // distinct planes into the same bit, degrading recall with no error
+  require(planes.size / bands <= 64,
+    s"at most 64 planes per band (got ${planes.size / bands})")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -150,7 +150,9 @@ object Similarity {
       nProbe: Int = 4,
       dim: Int = 64,
       iters: Int = 2): DataFrame = {
-    val ctrs = centroids(corpus, idCol, vecCol, nCentroids, dim, iters).cache()
+    // the centroid table is consumed exactly once (the bounded collect
+    // below) — caching it would leak a persisted RDD in long sessions
+    val ctrs = centroids(corpus, idCol, vecCol, nCentroids, dim, iters)
     val (cids, cvecs) = collectCentroids(ctrs)
     val bucketed = graft.dedup.Dedup.spread(corpus)
       .withColumn("centroid_id", element_at(

@@ -44,6 +44,17 @@ class NearestCentroidsSpec extends SparkTestBase {
     assert(got === Seq.empty)
   }
 
+  test("dimension-mismatched centroids are skipped, not silently truncated") {
+    // centroid 9 (3-dim) would win under truncated-dot scoring of a
+    // 2-dim vector; it must be excluded like CosineSimilarity's
+    // null-on-mismatch, leaving the aligned centroids only
+    val mixIds = Seq(0L, 9L)
+    val mixCtrs = Seq(Seq(0.9f, 0.1f), Seq(1.0f, 0.0f, 0.0f))
+    val got = Seq(Array(1.0f, 0.0f)).toDF("v")
+      .select(NearestCentroids($"v", mixIds, mixCtrs, 2)).as[Seq[Long]].head()
+    assert(got === Seq(0L))
+  }
+
   test("whole-stage codegen") {
     val df = Seq(Array(1.0f, 0.0f)).toDF("v")
     val cg = df.repartition(2).select(NearestCentroids($"v", ids, ctrs, 2))

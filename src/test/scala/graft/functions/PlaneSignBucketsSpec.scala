@@ -42,6 +42,17 @@ class PlaneSignBucketsSpec extends SparkTestBase {
       PlaneSignBuckets.gaussianPlanes(8, 4, 43L))
   }
 
+  test("more than 64 planes per band is rejected (bit packing would wrap)") {
+    val wide = PlaneSignBuckets.gaussianPlanes(128, 4, 42L)
+    intercept[IllegalArgumentException] {
+      Seq(Array(1.0f, 0.0f, 0.0f, 0.0f)).toDF("v")
+        .select(PlaneSignBuckets($"v", wide, 1)).collect()
+    }
+    // 128 planes over 2 bands = 64/band: allowed
+    Seq(Array(1.0f, 0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(PlaneSignBuckets($"v", wide, 2)).collect()
+  }
+
   test("whole-stage codegen") {
     val df = Seq(Array(1.0f, 2.0f, 3.0f, 4.0f)).toDF("v")
     val cg = df.repartition(2).select(PlaneSignBuckets($"v", planes, 2))
