@@ -220,17 +220,26 @@ object Materializer {
 
   // ------------------------------------------------------------ manifests
 
+  // Proper JSON parsing (Jackson is on Spark's classpath) rather than
+  // substring matching — key order, whitespace, and future fields in a
+  // manifest must not affect resume decisions.
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseManifest(
+      path: java.nio.file.Path): Option[com.fasterxml.jackson.databind.JsonNode] =
+    if (!Files.exists(path)) None
+    else try Some(jsonMapper.readTree(Files.readAllBytes(path)))
+    catch { case _: java.io.IOException => None } // corrupt manifest = incomplete
+
   private def isComplete(path: java.nio.file.Path, hash: String): Boolean =
-    Files.exists(path) && {
-      val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-      txt.contains("\"status\": \"complete\"") &&
-        txt.contains(s""""spec_hash": "$hash"""")
+    parseManifest(path).exists { m =>
+      m.path("status").asText() == "complete" &&
+        m.path("spec_hash").asText() == hash
     }
 
-  private def readRows(path: java.nio.file.Path): Long = {
-    val txt = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-    "\"rows\": (\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-  }
+  private def readRows(path: java.nio.file.Path): Long =
+    parseManifest(path).map(_.path("rows").asLong(0L)).getOrElse(0L)
 
   private def writeManifest(path: java.nio.file.Path, fields: Map[String, Any]): Unit = {
     def esc(s: String) = s.flatMap {

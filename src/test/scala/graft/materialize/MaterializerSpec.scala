@@ -64,6 +64,30 @@ class MaterializerSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("resume survives manifests with re-ordered keys (parsed, not substring-matched)") {
+    val out = freshOut()
+    val first = Materializer.materialize(spark, feats, "ts", out)
+
+    // rewrite every manifest with fields in REVERSE order and different
+    // whitespace — a resume decision must depend on JSON content only
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdir = java.nio.file.Paths.get(out, "_manifests")
+    java.nio.file.Files.list(mdir).forEach { p =>
+      val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      val reordered = mapper.createObjectNode()
+      val names = new scala.collection.mutable.ArrayBuffer[String]()
+      node.fieldNames().forEachRemaining(n => names += n)
+      names.sorted.reverse.foreach(n =>
+        reordered.set[com.fasterxml.jackson.databind.JsonNode](n, node.get(n)))
+      java.nio.file.Files.write(p, reordered.toString.getBytes("UTF-8"))
+    }
+
+    val resumed = Materializer.materialize(spark, feats, "ts", out)
+    assert(resumed.skipped === first.buckets.size)
+    assert(resumed.completed === 0)
+    assert(resumed.totalRows === first.totalRows) // rows read back from manifests
+  }
+
   test("changed plan (new spec hash) recomputes instead of skipping") {
     val out = freshOut()
     Materializer.materialize(spark, feats, "ts", out)
