@@ -14,7 +14,13 @@ object Clock {
 
   val PinConf = "graft.clock.current_date"
 
-  /** Today's date: the pinned date when configured, else current_date(). */
+  /** Today's date: the pinned date when configured, else current_date().
+    *
+    * NOTE: the conf is read at COLUMN-CONSTRUCTION time — the pin is
+    * baked into the plan when the feature DataFrame is BUILT, so setting
+    * or unsetting `graft.clock.current_date` afterwards does not affect
+    * already-built plans. In a long-lived session, pin first, then build
+    * (rebuild the DataFrame to pick up a changed pin). */
   def currentDate(spark: SparkSession): Column =
     spark.conf.getOption(PinConf)
       .map(d => to_date(lit(d)))

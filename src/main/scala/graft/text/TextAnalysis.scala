@@ -83,8 +83,8 @@ object TextAnalysis {
         TokenInSetCount(lower(text), words, whitespaceRuns = true).as("score"),
         lit(lang).as("lang"))
     }
-    // argmax by (score, then reverse-lexicographic lang so ties pick the
-    // alphabetically FIRST language deterministically)
+    // argmax over the ascending-sorted language list with a strict `>`:
+    // on ties the earlier (alphabetically FIRST) language is kept
     val best = scored.reduce((a, b) =>
       when(b.getField("score") > a.getField("score"), b).otherwise(a))
     best.getField("lang")

@@ -27,9 +27,22 @@ MEM=${SPARK_DRIVER_MEM:-24g}
 SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.ScalingBench $TURNS gen" >/dev/null 2>&1
 
 run_level() { # $1 = cpus, $2 = core list
+  # `|| true`: under set -e a run that produced no scaling JSON (sbt OOM,
+  # crash) would otherwise kill the whole script mid-loop with stderr
+  # discarded; the empty-output check below reports it instead
+  local log line
+  log=$(mktemp)
   SPARK_DRIVER_MEM=$MEM taskset -c "$2" \
-    sbt -batch "runMain graft.ScalingBench $TURNS $1" 2>/dev/null \
-    | grep -oE '\{"bench":"scaling".*' | tail -1
+    sbt -batch "runMain graft.ScalingBench $TURNS $1" >"$log" 2>&1 || true
+  line=$(grep -oE '\{"bench":"scaling".*' "$log" | tail -1 || true)
+  if [ -z "$line" ]; then
+    echo "ERROR: level cpus=$1 produced no scaling JSON; last output:" >&2
+    tail -5 "$log" >&2
+    rm -f "$log"
+    exit 1
+  fi
+  rm -f "$log"
+  echo "$line"
 }
 
 OUT=""
