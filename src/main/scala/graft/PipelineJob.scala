@@ -43,13 +43,15 @@ object PipelineJob {
       countDistinct(col("lang_pred")).as("n_langs")).collect().head
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
+    val docsPerSec = inDocs * 1000.0 / wallMs
     println(
       s"""{"job":"pipeline_clean","in_docs":$inDocs,""" +
       s""""after_exact_dedup":$afterExact,"out_docs":$outDocs,""" +
       s""""dropped_exact":${inDocs - afterExact},""" +
       s""""dropped_neardup_or_filtered":${afterExact - outDocs},""" +
       s""""avg_quality":${stats.get(0)},"n_langs":${stats.getLong(1)},""" +
-      s""""out":"$outDir/clean","wall_ms":$wallMs}""")
+      s""""out":"$outDir/clean","wall_ms":$wallMs,""" +
+      s""""cpus":$cpus,"docs_per_sec":${f"$docsPerSec%.0f"}}""")
     spark.stop()
   }
 }
