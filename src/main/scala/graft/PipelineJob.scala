@@ -13,15 +13,19 @@ import graft.pipeline.PretrainPipeline
   * line with per-stage counts and wall-clock — the lineage/metrics
   * shape MaterializeJob uses for feature backfills.
   *
-  * usage: runMain graft.PipelineJob <docs.parquet> <outDir> [stageDir]
+  * usage: runMain graft.PipelineJob <docs.parquet> <outDir> [stageDir] [pairdrop|components]
   */
 object PipelineJob {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: PipelineJob <docs.parquet> <outDir> [stageDir]")
+      "usage: PipelineJob <docs.parquet> <outDir> [stageDir] [pairdrop|components]")
     val (inPath, outDir) = (args(0), args(1))
     val stageDir = args.lift(2).orElse(Some(s"$outDir/_stage"))
+    val canon = args.lift(3).getOrElse("pairdrop") match {
+      case "components" => PretrainPipeline.Canonicalize.Components
+      case _            => PretrainPipeline.Canonicalize.PairDrop
+    }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
@@ -32,6 +36,7 @@ object PipelineJob {
     val inDocs = docs.count()
 
     val cleaned = PretrainPipeline.clean(docs, "text", "doc_id",
+      cfg = PretrainPipeline.Config(canonicalize = canon),
       stageDir = stageDir)
     cleaned.write.mode("overwrite").parquet(s"$outDir/clean")
 

@@ -28,7 +28,12 @@ object Dedup {
 
   // ------------------------------------------------------------- exact
   /** Exact dedup on normalized content: one canonical row (min id) per
-    * fingerprint. Single hash-shuffle on the 128-bit key. */
+    * fingerprint. Single hash-shuffle on the 128-bit key + one
+    * in-partition sort (row_number window). A `min_by(struct)` hash-
+    * aggregate form was tried and rejected: the struct buffer is
+    * immutable, so Spark falls back to SortAggregate — sorting the
+    * corpus map-side AND reduce-side, strictly worse than this plan's
+    * single post-shuffle sort. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("_fp")).orderBy(col(idCol).asc)
     df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))

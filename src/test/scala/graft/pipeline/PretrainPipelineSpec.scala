@@ -72,7 +72,7 @@ class PretrainPipelineSpec extends SparkTestBase {
     assert(kept === Seq(10L, 20L))
   }
 
-  test("staged clean reads the dedup result from files: no Window recompute in plan") {
+  test("staged clean reads the dedup result from files: no window recompute in plan") {
     val docs = Seq(
       (1L, "the value of a table row is in the scan and the plan is for " +
         "the query of the data to be the best one of all the good runs"),
@@ -85,10 +85,14 @@ class PretrainPipelineSpec extends SparkTestBase {
       stageDir = Some(dir))
     staged.collect() // AQE-final plan only after execution
     val stagedPlan = staged.queryExecution.executedPlan.toString
-    // the exact-dedup subtree (row_number Window over the fingerprint) ran
-    // ONCE at stage-write time; the query plan re-scans parquet instead
+    // the exact-dedup subtree (row_number window over the fingerprint)
+    // ran ONCE at stage-write time; the query plan re-scans parquet
+    // instead (the Window node is the reliable marker — expression text
+    // like md5 can be hidden by plan-string field truncation)
     assert(!stagedPlan.contains("Window"),
       s"staged plan recomputes the dedup window:\n$stagedPlan")
+    assert(stagedPlan.contains("exact_dedup"),
+      "staged plan does not scan the staged parquet")
 
     val unstaged = PretrainPipeline.clean(docs, "text", "doc_id")
     unstaged.collect()
