@@ -48,6 +48,43 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(lab === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("empty edge list yields an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ConnectedComponents.label(empty).count() === 0L)
+  }
+
+  test("property: random graphs match a driver-side union-find oracle") {
+    // 20 seeded random graphs of mixed density; the oracle is a plain
+    // union-find over the same edges
+    for (seed <- 1 to 20) {
+      val rng = new scala.util.Random(seed)
+      val n = 5 + rng.nextInt(60)
+      val m = rng.nextInt(2 * n)
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map { v =>
+          val members = nodes.filter(u => find(u.toInt) == find(v.toInt))
+          v -> members.min
+        }.toMap
+        assert(labelsOf(edges) === expected, s"seed=$seed n=$n m=$m")
+      }
+    }
+  }
+
   test("dropSet keeps exactly the component minima") {
     val drops = ConnectedComponents
       .dropSet(Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b"))
