@@ -216,6 +216,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Near-duplicate CLUSTERS: MinHash-LSH candidate pairs verified at
+    * `threshold`, closed under transitivity via
+    * [[ConnectedComponents]] — returns (id, canonical) for every doc
+    * that belongs to a non-trivial cluster, where canonical is the
+    * cluster's min id (docs with no ≥threshold neighbor don't appear).
+    * The curation join is then a broadcast/left join on id: keep rows
+    * absent from this table or with id == canonical. */
+  def nearDupClusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 128): DataFrame =
+    ConnectedComponents.label(
+      minhashLsh(df, textCol, idCol, numHashes, bands, shingleWidth,
+        threshold, maxBucket))
+      .select(col("id").as(idCol), col("component").as("canonical"))
+
   /** Exact all-pairs n-gram Jaccard >= threshold (the oracle path; O(N²)
     * within a length bucket — use only at test scale or as the verifier
     * for sampled audits). */

@@ -52,6 +52,21 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.size >= (exact.size * 0.9).toInt, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("nearDupClusters: mutation chains collapse to one canonical min id") {
+    // base doc + two successive 2-word-drop mutations: adjacent Jaccards
+    // ≈ 0.89/0.875 clear the 0.8 threshold, the chain ends (≈0.78) don't
+    // — transitivity must still put all three in one cluster
+    val a = (1 to 20).map(i => s"word$i").mkString(" ")
+    val b = a.split(" ").dropRight(2).mkString(" ")
+    val c = b.split(" ").dropRight(2).mkString(" ")
+    val other = (100 to 130).map(i => s"tok$i").mkString(" ")
+    val docsDf = Seq((5L, a), (6L, b), (7L, c), (9L, other))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docsDf, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("simhash: identical text → distance 0; mutated → small; pairs found") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
