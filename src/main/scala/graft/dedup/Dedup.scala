@@ -276,7 +276,16 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, using
     * band-of-16-bits blocking (pigeonhole: any pair within distance 3
-    * shares at least one of 4 exact 16-bit bands). */
+    * shares at least one of 4 exact 16-bit bands).
+    *
+    * Cap-recall contract: the pigeonhole guarantee holds only for pairs
+    * with at least one shared band bucket UNDER `maxBucket` — on a
+    * corpus whose token distributions are so similar that a 16-bit band
+    * value is shared corpus-wide (boilerplate-heavy crawls), over-cap
+    * buckets are dropped and their exclusive pairs with them. That is
+    * the deliberate skew trade (one degenerate bucket is quadratic);
+    * run exact dedup first and raise `maxBucket` knowingly if near-dup
+    * recall on such a corpus matters more than the quadratic guard. */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
