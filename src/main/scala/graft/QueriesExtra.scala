@@ -753,6 +753,50 @@ object QueriesExtra {
       | COALESCE(f.last_frame_ts, -1) AS last_frame_ts
       |FROM r LEFT JOIN f ON r.media_id = f.media_id""".stripMargin
 
+  // --------------------------------------------------------- A9 (bonus)
+  /** ROLLUP subtotals (SURVEY §2.3 A9 — absent in the reference's SQL
+    * corpus, provided for SQL-surface completeness): per-(type, user
+    * decile) aggregates with type-level and grand totals; null-filled
+    * grouping columns match across engines. */
+  def q39Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .rollup(col("event_type"), pmod(col("user_id"), lit(10)).as("user_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  val q39Sql: String =
+    """SELECT event_type, user_id % 10 AS user_mod, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY ROLLUP (event_type, user_id % 10)""".stripMargin
+
+  // --------------------------------------------------------- O4 (bonus)
+  /** INTERSECT / EXCEPT / deterministic LIMIT (SURVEY §2.5 O4 — absent
+    * in the reference, provided for SQL-surface completeness). */
+  def q40SetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hi = e.filter(col("value") >= 10).select(col("event_id"))
+    val click = e.filter(col("event_type") === "click").select(col("event_id"))
+    hi.intersect(click).select(col("event_id"), lit("both").as("tag"))
+      .unionAll(hi.except(click).select(col("event_id"), lit("hi_only").as("tag")))
+      .unionAll(e.select(col("event_id")).orderBy(col("event_id")).limit(100)
+        .select(col("event_id"), lit("first100").as("tag")))
+  }
+
+  val q40Sql: String =
+    """SELECT event_id, 'both' AS tag FROM (
+      |  SELECT event_id FROM events WHERE value >= 10
+      |  INTERSECT
+      |  SELECT event_id FROM events WHERE event_type = 'click')
+      |UNION ALL
+      |SELECT event_id, 'hi_only' AS tag FROM (
+      |  SELECT event_id FROM events WHERE value >= 10
+      |  EXCEPT
+      |  SELECT event_id FROM events WHERE event_type = 'click')
+      |UNION ALL
+      |SELECT event_id, 'first100' AS tag FROM (
+      |  SELECT event_id FROM events ORDER BY event_id LIMIT 100)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -776,7 +820,9 @@ object QueriesExtra {
     "q35_pipeline_clean" -> (q35PipelineClean _),
     "q36_subword_count" -> (q36SubwordCount _),
     "q37_connected_components" -> (q37ConnectedComponents _),
-    "q38_media_meta" -> (q38MediaMeta _))
+    "q38_media_meta" -> (q38MediaMeta _),
+    "q39_rollup" -> (q39Rollup _),
+    "q40_set_ops" -> (q40SetOps _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -801,5 +847,7 @@ object QueriesExtra {
     "q35_pipeline_clean" -> q35Sql,
     "q36_subword_count" -> q36Sql,
     "q37_connected_components" -> q37Sql,
-    "q38_media_meta" -> q38Sql)
+    "q38_media_meta" -> q38Sql,
+    "q39_rollup" -> q39Sql,
+    "q40_set_ops" -> q40Sql)
 }
