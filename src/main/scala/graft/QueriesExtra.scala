@@ -797,6 +797,38 @@ object QueriesExtra {
       |SELECT event_id, 'first100' AS tag FROM (
       |  SELECT event_id FROM events ORDER BY event_id LIMIT 100)""".stripMargin
 
+  // --------------------------------------------------------- J7 (bonus)
+  /** Semi/anti join (SURVEY §2.2 J7 — absent in the reference's SQL
+    * corpus; the pipeline's survivor anti-join
+    * ([[graft.pipeline.PretrainPipeline.clean]]) is its production use).
+    * Splits customers by existence of a high-value order: `left_semi`
+    * keeps only left rows WITH a match (no right columns, no row
+    * amplification — a customer with 40 big orders appears once),
+    * `left_anti` keeps only left rows WITHOUT one. Both sides shuffle
+    * on the key once; at scale the filtered orders side stays skinny
+    * (key column only) through the exchange. The remaining J7 flavor —
+    * theta/range predicates — is exercised by the as-of join's
+    * `[t − ttl, t]` range (q09). */
+  def q41SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val big = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    cust.join(big, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), lit("has_big").as("tag"))
+      .unionAll(cust.join(big, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"), lit("none").as("tag")))
+  }
+
+  val q41Sql: String =
+    """SELECT c_custkey, c_mktsegment, 'has_big' AS tag FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, 'none' AS tag FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -822,7 +854,8 @@ object QueriesExtra {
     "q37_connected_components" -> (q37ConnectedComponents _),
     "q38_media_meta" -> (q38MediaMeta _),
     "q39_rollup" -> (q39Rollup _),
-    "q40_set_ops" -> (q40SetOps _))
+    "q40_set_ops" -> (q40SetOps _),
+    "q41_semi_anti" -> (q41SemiAnti _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -849,5 +882,6 @@ object QueriesExtra {
     "q37_connected_components" -> q37Sql,
     "q38_media_meta" -> q38Sql,
     "q39_rollup" -> q39Sql,
-    "q40_set_ops" -> q40Sql)
+    "q40_set_ops" -> q40Sql,
+    "q41_semi_anti" -> q41Sql)
 }

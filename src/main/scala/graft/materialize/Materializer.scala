@@ -232,7 +232,7 @@ object Materializer {
     else try Some(jsonMapper.readTree(Files.readAllBytes(path)))
     catch { case _: java.io.IOException => None } // corrupt manifest = incomplete
 
-  private def isComplete(path: java.nio.file.Path, hash: String): Boolean =
+  private[graft] def isComplete(path: java.nio.file.Path, hash: String): Boolean =
     parseManifest(path).exists { m =>
       m.path("status").asText() == "complete" &&
         m.path("spec_hash").asText() == hash
@@ -241,7 +241,7 @@ object Materializer {
   private def readRows(path: java.nio.file.Path): Long =
     parseManifest(path).map(_.path("rows").asLong(0L)).getOrElse(0L)
 
-  private def writeManifest(path: java.nio.file.Path, fields: Map[String, Any]): Unit = {
+  private[graft] def writeManifest(path: java.nio.file.Path, fields: Map[String, Any]): Unit = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

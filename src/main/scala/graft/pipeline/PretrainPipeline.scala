@@ -62,17 +62,43 @@ object PretrainPipeline {
     *                  corpus shuffles into one shuffle + one write +
     *                  cheap columnar re-scans (the standard staged-
     *                  pipeline layout on a lake).
+    * @param resume   when true and `stageDir` is set, a completed stage
+    *                 from an earlier run is REUSED instead of recomputed:
+    *                 the stage write commits an atomic manifest (same
+    *                 Materializer scheme the backfill sink uses) keyed by
+    *                 a resume hash over the input FILE LIST + the stage-
+    *                 relevant config, so a crashed/killed pipeline run
+    *                 restarts past its heaviest shuffle. A changed input
+    *                 or config invalidates the manifest; a partial write
+    *                 (no manifest) is re-done. Deliberately hashes input
+    *                 files, not the logical plan — caller-side plan
+    *                 decorations (e.g. `observe` metric nodes) must not
+    *                 defeat resume.
     */
   def clean(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       cfg: Config = Config(),
-      stageDir: Option[String] = None): DataFrame = {
+      stageDir: Option[String] = None,
+      resume: Boolean = false): DataFrame = {
     val exact0 = Dedup.exact(df, textCol, idCol)
     val exact = stageDir match {
       case Some(dir) =>
-        exact0.write.mode("overwrite").parquet(s"$dir/exact_dedup")
+        val manifest = java.nio.file.Paths.get(dir, "_exact_dedup_manifest.json")
+        val hash = stageHash(df, textCol, idCol)
+        // resume only for file-backed inputs: an in-memory DataFrame has no
+        // input files, so every such input would share one degenerate hash
+        val canResume = resume && df.inputFiles.nonEmpty
+        if (!(canResume && graft.materialize.Materializer.isComplete(manifest, hash))) {
+          val t0 = System.nanoTime()
+          exact0.write.mode("overwrite").parquet(s"$dir/exact_dedup")
+          graft.materialize.Materializer.writeManifest(manifest, Map(
+            "status" -> "complete",
+            "spec_hash" -> hash,
+            "stage" -> "exact_dedup",
+            "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
+        }
         df.sparkSession.read.parquet(s"$dir/exact_dedup")
       case None => exact0
     }
@@ -92,5 +118,19 @@ object PretrainPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&
         col("quality") >= cfg.minQuality)
+  }
+
+  /** Resume key for the staged exact-dedup intermediate: the sorted input
+    * file list (metadata-only — no scan) + the parameters the stage's
+    * output actually depends on. Input files rewritten in place between
+    * runs with identical names would NOT invalidate the stage (same
+    * trade-off as any path-keyed checkpoint); a lake layout where files
+    * are immutable makes the key exact. */
+  private def stageHash(df: DataFrame, textCol: String, idCol: String): String = {
+    val key = df.inputFiles.sorted.mkString(",") +
+      s"|exact_dedup_v1|$textCol|$idCol"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map("%02x".format(_)).mkString
   }
 }

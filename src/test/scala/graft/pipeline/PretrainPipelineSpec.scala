@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestBase
 
 class PretrainPipelineSpec extends SparkTestBase {
@@ -97,6 +99,52 @@ class PretrainPipelineSpec extends SparkTestBase {
     val unstaged = PretrainPipeline.clean(docs, "text", "doc_id")
     unstaged.collect()
     assert(unstaged.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("resume reuses a completed stage; changed input invalidates it") {
+    def listStage(dir: String): Set[String] = {
+      val p = java.nio.file.Paths.get(dir, "exact_dedup")
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+      finally s.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val docsA = Seq(
+      (1L, "the value of a table row is in the scan and the plan is for " +
+        "the query of the data to be the best one of all the good runs"),
+      (2L, "a completely different english text with the usual words of " +
+        "the language that is good and long enough to pass the filters of this")
+    ).toDF("doc_id", "text")
+    docsA.write.parquet(s"$base/inA")
+    val inA = spark.read.parquet(s"$base/inA")
+    val stage = s"$base/stage"
+
+    val r1 = PretrainPipeline.clean(inA, "text", "doc_id",
+      stageDir = Some(stage), resume = true)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val files1 = listStage(stage)
+
+    // second resume run: stage untouched (same part files), same answer
+    val r2 = PretrainPipeline.clean(inA, "text", "doc_id",
+      stageDir = Some(stage), resume = true)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(listStage(stage) === files1, "resume rewrote a completed stage")
+    assert(r2 === r1)
+
+    // different input files ⇒ manifest hash mismatch ⇒ stage recomputed
+    docsA.filter($"doc_id" === 1L).write.parquet(s"$base/inB")
+    val r3 = PretrainPipeline.clean(spark.read.parquet(s"$base/inB"),
+      "text", "doc_id", stageDir = Some(stage), resume = true)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(listStage(stage) !== files1, "changed input did not invalidate stage")
+    assert(r3 === Seq(1L))
+
+    // in-memory input (no files): resume must not hit a file-keyed manifest
+    val r4 = PretrainPipeline.clean(docsA, "text", "doc_id",
+      stageDir = Some(stage), resume = true)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(r4 === r1)
   }
 
   test("clean is deterministic across runs and partitionings") {
