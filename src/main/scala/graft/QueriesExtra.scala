@@ -829,6 +829,35 @@ object QueriesExtra {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""".stripMargin
 
+  // ----------------------------------------------- n-gram language ID
+  /** Char-n-gram profile language ID (the substring-frequency variant of
+    * q19's marker-wordlist heuristic — fires inside inflected/compound
+    * words). Native one-pass [[graft.functions.SubstringSetCount]] per
+    * language; per-pattern non-overlap counts equal REPLACE arithmetic,
+    * so DuckDB replays every score exactly. */
+  def q42LangIdNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdNgram(col("text")).as("ngram_pred"))
+
+  val q42Sql: String = {
+    val m = TextAnalysis.DefaultLangNgrams.toSeq.sortBy(_._1)
+    val scores = m.map { case (lang, grams) =>
+      grams.map(g => s"((LEN(t) - LEN(REPLACE(t, '$g', ''))) // ${g.length})")
+        .mkString(" + ") + s" AS s_$lang"
+    }.mkString(",\n   ")
+    val langs = m.map(_._1)
+    val greatest = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH lt AS (SELECT doc_id, lang, LOWER(text) AS t FROM documents),
+       | sc AS (
+       |  SELECT doc_id, lang,
+       |   $scores
+       |  FROM lt),
+       | mx AS (SELECT *, $greatest AS m FROM sc)
+       |SELECT doc_id, lang, CASE $cases END AS ngram_pred FROM mx""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -855,7 +884,8 @@ object QueriesExtra {
     "q38_media_meta" -> (q38MediaMeta _),
     "q39_rollup" -> (q39Rollup _),
     "q40_set_ops" -> (q40SetOps _),
-    "q41_semi_anti" -> (q41SemiAnti _))
+    "q41_semi_anti" -> (q41SemiAnti _),
+    "q42_langid_ngram" -> (q42LangIdNgram _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -883,5 +913,6 @@ object QueriesExtra {
     "q38_media_meta" -> q38Sql,
     "q39_rollup" -> q39Sql,
     "q40_set_ops" -> q40Sql,
-    "q41_semi_anti" -> q41Sql)
+    "q41_semi_anti" -> q41Sql,
+    "q42_langid_ngram" -> q42Sql)
 }

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TokenInSetCount, WhitespaceTokenCount}
+import graft.functions.{SubstringSetCount, TokenInSetCount, WhitespaceTokenCount}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, document fingerprinting.
@@ -96,6 +96,39 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "que", "es", "una", "con"),
     "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Char-n-gram profile language ID — the substring-frequency variant
+    * of [[langId]] (the classic Cavnar–Trenkle-style heuristic reduced
+    * to fixed per-language profiles): score each candidate language by
+    * total non-overlapping occurrences of its characteristic character
+    * n-grams anywhere in the text (so "sch" scores inside "deutsche",
+    * where a word-marker list sees nothing), argmax with the same
+    * alphabetically-first tie-break as [[langId]]. One codegen'd byte
+    * pass per language over the scan ([[graft.functions.SubstringSetCount]]);
+    * per-pattern counts equal `(len(s) − len(replace(s, p, ''))) / len(p)`,
+    * so a SQL oracle replays the score exactly.
+    */
+  def langIdNgram(
+      text: Column,
+      profiles: Map[String, Seq[String]] = DefaultLangNgrams): Column = {
+    val t = lower(text)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      struct(SubstringSetCount(t, grams).as("score"), lit(lang).as("lang"))
+    }
+    val best = scored.reduce((a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    best.getField("lang")
+  }
+
+  /** Characteristic character n-grams per language (substring-level, so
+    * they fire inside inflected/compound words; includes space-anchored
+    * grams for function words and single CJK chars for zh). */
+  val DefaultLangNgrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", " of", " is"),
+    "de" -> Seq("der", "sch", "ich", "ein", "und"),
+    "es" -> Seq(" el", "que", " la", "los", "ción"),
+    "fr" -> Seq(" le", "les", "des", "une", "aux"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Deterministic document fingerprint (md5 of normalized text) — the
     * exact-dedup key. md5 is identical across engines, so oracles hold.

@@ -36,6 +36,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got("none") === "de") // all-zero tie → alphabetically first
   }
 
+  test("langIdNgram: substring profiles fire inside compound words") {
+    val df = Seq(
+      // no German MARKER WORDS, but 'sch'/'ich'/'ein' inside compounds —
+      // the word-marker langId cannot see these, the n-gram one must
+      (1L, "geschichtliche scheinbare einheitliche entscheidungen"),
+      (2L, "the remaining things are standing in the growing list"),
+      (3L, "我的书是在的了我"),
+      (4L, "zzz qqq vvv") // no profile hits anywhere: tie at 0 → 'de'
+    ).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langIdNgram($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "de")
+    assert(got(2L) === "en")
+    assert(got(3L) === "zh")
+    assert(got(4L) === "de") // alphabetically-first tie-break, like langId
+  }
+
   test("fingerprint: whitespace/case-insensitive, content-sensitive") {
     val df = Seq(
       (1L, "Hello   World"),
