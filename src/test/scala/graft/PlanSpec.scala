@@ -47,6 +47,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("q41: semi/anti execute as existence hash joins, never row-amplifying") {
+    val p = plan("q41_semi_anti")
+    assert(p.contains("LeftSemi"), s"expected a LeftSemi join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected a LeftAnti join:\n$p")
+    // existence joins must not degrade to a plan that materializes the
+    // match multiplicity (inner join + distinct) or a product join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"existence join degraded to a product join:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice,450000.0)"),
+      s"price filter not pushed to the orders scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan->aggregate hot path") {
     // codegen spans only show in the AQE-final plan, so execute first
     val df = SparkEntry.queries("q01_agg_basic")(spark, dir)
