@@ -858,6 +858,65 @@ object QueriesExtra {
        |SELECT doc_id, lang, CASE $cases END AS ngram_pred FROM mx""".stripMargin
   }
 
+  // ------------------------------------------------------ salted agg
+  /** Salted two-phase per-conversation aggregation in the driver gate
+    * (north_star: "salted repartitioning" — previously spec-only in
+    * SaltedAggSpec). The engine runs
+    * [[graft.features.TranscriptFeatures.convAggregatesSalted]] — hot
+    * keys split across (key, salt) partial reducers, then merged — and
+    * must land EXACTLY on the plain one-phase GROUP BY the oracle
+    * computes: every aggregate here is salt-decomposable (count/sum/
+    * min/max, rate derived as sum/count after the merge). Transcript
+    * shape is derived from `events` like q31. */
+  def q43SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val tr = t(s, dir, "events").select(
+      col("user_id").cast("string").as("conv_id"),
+      when(col("event_type") === "view", "user")
+        .when(col("event_type") === "click", "assistant")
+        .otherwise(col("event_type")).as("role"),
+      col("props").as("text"),
+      when(col("event_type") === "click", "browser").otherwise("").as("tool"),
+      col("ts"))
+    graft.features.TranscriptFeatures.convAggregatesSalted(tr, salt = 8)
+      .select(col("conv_id"), col("n_turns"), col("last_ts"), col("first_ts"),
+        col("tool_turns"), round(col("tool_rate"), 6).as("tool_rate"),
+        col("total_tokens"),
+        col("role_user_tokens"), col("role_user_turns"),
+        col("role_assistant_tokens"), col("role_assistant_turns"))
+  }
+
+  val q43Sql: String =
+    """WITH tr AS (
+      | SELECT CAST(user_id AS VARCHAR) AS conv_id,
+      |  CASE WHEN event_type = 'view' THEN 'user'
+      |       WHEN event_type = 'click' THEN 'assistant'
+      |       ELSE event_type END AS role,
+      |  props AS text,
+      |  CASE WHEN event_type = 'click' THEN 'browser' ELSE '' END AS tool,
+      |  ts
+      | FROM events),
+      | tok AS (
+      | SELECT *, LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x <> ''))
+      |   AS toks
+      | FROM tr)
+      |SELECT conv_id,
+      | COUNT(*) AS n_turns,
+      | MAX(ts) AS last_ts,
+      | MIN(ts) AS first_ts,
+      | CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns,
+      | ROUND(CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / COUNT(*), 6) AS tool_rate,
+      | CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      | CAST(SUM(CASE WHEN role = 'user' THEN toks ELSE 0 END) AS BIGINT)
+      |   AS role_user_tokens,
+      | CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS role_user_turns,
+      | CAST(SUM(CASE WHEN role = 'assistant' THEN toks ELSE 0 END) AS BIGINT)
+      |   AS role_assistant_tokens,
+      | CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS role_assistant_turns
+      |FROM tok GROUP BY conv_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -885,7 +944,8 @@ object QueriesExtra {
     "q39_rollup" -> (q39Rollup _),
     "q40_set_ops" -> (q40SetOps _),
     "q41_semi_anti" -> (q41SemiAnti _),
-    "q42_langid_ngram" -> (q42LangIdNgram _))
+    "q42_langid_ngram" -> (q42LangIdNgram _),
+    "q43_salted_agg" -> (q43SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -914,5 +974,6 @@ object QueriesExtra {
     "q39_rollup" -> q39Sql,
     "q40_set_ops" -> q40Sql,
     "q41_semi_anti" -> q41Sql,
-    "q42_langid_ngram" -> q42Sql)
+    "q42_langid_ngram" -> q42Sql,
+    "q43_salted_agg" -> q43Sql)
 }
