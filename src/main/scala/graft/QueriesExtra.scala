@@ -917,6 +917,37 @@ object QueriesExtra {
       |   AS role_assistant_turns
       |FROM tok GROUP BY conv_id""".stripMargin
 
+  // ---------------------------------------- materialization + pruning
+  /** Materialization sink round-trip in the driver gate (north_rule:
+    * resumable checkpointed backfill — previously MaterializerSpec-only):
+    * a feature table is materialized through
+    * [[graft.materialize.Materializer.materialize]] (event-time daily
+    * buckets, ONE dynamic-partition write, atomic per-bucket manifests),
+    * then a 10-day window is read back via `readRange` — which must
+    * partition-prune to 10 bucket dirs — and must equal the source-side
+    * date filter DuckDB computes directly. Re-runs hit complete
+    * manifests and skip every bucket write (the resume path executes in
+    * the gate itself). */
+  def q44MaterializeRange(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      (col("value") * 2.0).as("v2x"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_purchase"))
+    val sink = s"/tmp/graft_q44_sink_${dir.hashCode & 0x7fffffff}"
+    graft.materialize.Materializer.materialize(s, feats, "ts", sink,
+      lineage = Map("source" -> s"$dir/events.parquet"))
+    graft.materialize.Materializer
+      .readRange(s, sink, "2024-01-08", "2024-01-17")
+      .select(col("event_id"), col("user_id"), col("v2x"), col("is_purchase"))
+  }
+
+  val q44Sql: String =
+    """SELECT event_id, user_id, value * 2.0 AS v2x,
+      | CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT)
+      |   AS is_purchase
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -945,7 +976,8 @@ object QueriesExtra {
     "q40_set_ops" -> (q40SetOps _),
     "q41_semi_anti" -> (q41SemiAnti _),
     "q42_langid_ngram" -> (q42LangIdNgram _),
-    "q43_salted_agg" -> (q43SaltedAgg _))
+    "q43_salted_agg" -> (q43SaltedAgg _),
+    "q44_materialize_range" -> (q44MaterializeRange _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -975,5 +1007,6 @@ object QueriesExtra {
     "q40_set_ops" -> q40Sql,
     "q41_semi_anti" -> q41Sql,
     "q42_langid_ngram" -> q42Sql,
-    "q43_salted_agg" -> q43Sql)
+    "q43_salted_agg" -> q43Sql,
+    "q44_materialize_range" -> q44Sql)
 }
