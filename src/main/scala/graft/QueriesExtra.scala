@@ -948,6 +948,70 @@ object QueriesExtra {
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'""".stripMargin
 
+  // ------------------------------------- YAML-driven engine retrieval
+  /** The reference's core API path end-to-end in the driver gate
+    * (previously FeatureEngineSpec-only): EP1 `applyConfig` registers
+    * entity + file source, EP2 `createFromYamlText` validates and
+    * registers a feature view + service from YAML, EP3 `retrieve` runs
+    * the backward as-of join with TTL for a probe grid (every user at
+    * two fixed timestamps). The oracle replays the point-in-time
+    * semantics directly: latest event with `ts ∈ [probe − 7d, probe]`
+    * per (user, probe), nulls where none (left-outer). (user_id, ts) is
+    * unique in `events`, so no tie-break is exercised — equal-ts
+    * created-column tie-breaks are FeatureEngineSpec's job. */
+  def q45YamlRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val engine = new graft.engine.FeatureEngine(s)
+    engine.applyConfig(Map(
+      "entities" -> Seq(Map(
+        "name" -> "user", "join_key" -> "user_id",
+        "description" -> "event actor")),
+      "data_sources" -> Map("events_src" -> Map(
+        "type" -> "file",
+        "path" -> s"$dir/events.parquet",
+        "timestamp_field" -> "ts"))))
+    engine.createFromYamlText(
+      """feature_views:
+        |  user_latest:
+        |    source_name: events_src
+        |    entities: [user]
+        |    ttl_days: 7
+        |    schema:
+        |      - name: value
+        |        dtype: FLOAT
+        |      - name: props
+        |        dtype: STRING
+        |feature_services:
+        |  user_svc:
+        |    features: [user_latest]""".stripMargin)
+    val probes = t(s, dir, "events").select(col("user_id")).distinct()
+      .crossJoin(probeTimes(s))
+      .select(col("user_id"), col("t").cast("timestamp").as("event_timestamp"))
+    engine.retrieve(probes, "user_svc")
+      .select(col("user_id"), col("event_timestamp").as("probe_ts"),
+        col("value"), col("props"))
+  }
+
+  private def probeTimes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("2024-01-15 00:00:00", "2024-01-25 00:00:00").toDF("t")
+  }
+
+  val q45Sql: String =
+    """WITH p AS (SELECT DISTINCT user_id FROM events),
+      | pr AS (
+      |  SELECT user_id, UNNEST([TIMESTAMP '2024-01-15 00:00:00',
+      |                          TIMESTAMP '2024-01-25 00:00:00']) AS probe_ts
+      |  FROM p),
+      | j AS (
+      |  SELECT pr.user_id, pr.probe_ts, e.value, e.props,
+      |   ROW_NUMBER() OVER (PARTITION BY pr.user_id, pr.probe_ts
+      |     ORDER BY e.ts DESC) AS rn
+      |  FROM pr LEFT JOIN events e
+      |    ON e.user_id = pr.user_id
+      |   AND e.ts <= pr.probe_ts
+      |   AND e.ts >= pr.probe_ts - INTERVAL 7 DAY)
+      |SELECT user_id, probe_ts, value, props FROM j WHERE rn = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -977,7 +1041,8 @@ object QueriesExtra {
     "q41_semi_anti" -> (q41SemiAnti _),
     "q42_langid_ngram" -> (q42LangIdNgram _),
     "q43_salted_agg" -> (q43SaltedAgg _),
-    "q44_materialize_range" -> (q44MaterializeRange _))
+    "q44_materialize_range" -> (q44MaterializeRange _),
+    "q45_yaml_retrieve" -> (q45YamlRetrieve _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1008,5 +1073,6 @@ object QueriesExtra {
     "q41_semi_anti" -> q41Sql,
     "q42_langid_ngram" -> q42Sql,
     "q43_salted_agg" -> q43Sql,
-    "q44_materialize_range" -> q44Sql)
+    "q44_materialize_range" -> q44Sql,
+    "q45_yaml_retrieve" -> q45Sql)
 }
