@@ -673,7 +673,11 @@ object QueriesExtra {
     * component = id - id % 5 — while the engine has to earn it by
     * actual iterative label propagation. The one possible isolate (a
     * max id ≡ 0 mod 5 has neither an outgoing nor an incoming edge) is
-    * excluded on both sides. */
+    * excluded on both sides. PRECONDITION the oracle arithmetic relies
+    * on: testdata doc_ids are contiguous from 0 (verified for all
+    * shipped SFs) — ids starting elsewhere would misalign the
+    * id − id % 5 runs and could add a low-end isolate the max-only
+    * exclusion misses. */
   def q37ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val ids = t(s, dir, "documents").select(col("doc_id"))
     val edges = ids.filter(pmod(col("doc_id"), lit(5)) =!= 4)
@@ -925,15 +929,19 @@ object QueriesExtra {
     * buckets, ONE dynamic-partition write, atomic per-bucket manifests),
     * then a 10-day window is read back via `readRange` — which must
     * partition-prune to 10 bucket dirs — and must equal the source-side
-    * date filter DuckDB computes directly. Re-runs hit complete
-    * manifests and skip every bucket write (the resume path executes in
-    * the gate itself). */
+    * date filter DuckDB computes directly. The sink is WIPED first so
+    * every execution exercises the real write path (a persistent sink
+    * would resume past complete manifests and gate stale bytes written
+    * by older code); the manifest resume/crash semantics themselves are
+    * MaterializerSpec's job (including an injected-failure restart). */
   def q44MaterializeRange(s: SparkSession, dir: String): DataFrame = {
     val feats = t(s, dir, "events").select(
       col("event_id"), col("user_id"), col("ts"),
       (col("value") * 2.0).as("v2x"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_purchase"))
     val sink = s"/tmp/graft_q44_sink_${dir.hashCode & 0x7fffffff}"
+    val hp = new org.apache.hadoop.fs.Path(sink)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     graft.materialize.Materializer.materialize(s, feats, "ts", sink,
       lineage = Map("source" -> s"$dir/events.parquet"))
     graft.materialize.Materializer
@@ -1012,6 +1020,71 @@ object QueriesExtra {
       |   AND e.ts >= pr.probe_ts - INTERVAL 7 DAY)
       |SELECT user_id, probe_ts, value, props FROM j WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------- near-dup clusters
+  /** Transitive near-dup clustering in the driver gate:
+    * [[Dedup.nearDupClusters]] (MinHash-LSH candidates → exact-Jaccard
+    * verify → ConnectedComponents closure) over a bounded slice plus
+    * TWO mutation generations (drop-2 and drop-4 words), which plants
+    * ≥3-node clusters. The oracle earns the same answer the hard way:
+    * DuckDB computes the EXACT ≥0.8 3-gram Jaccard pair graph all-pairs
+    * (q21's arithmetic) and closes it transitively with a recursive CTE
+    * (min reachable id per node) — so the gate covers LSH recall AND
+    * the cluster closure, organic pairs included. Determinism: seeded
+    * hashing; at 16 bands × 2 rows the per-pair banding miss is
+    * ≤ (1−0.8²)¹⁶ ≈ 8e-8 at the threshold, verified empirically on the
+    * gate data. Bounded slice keeps the all-pairs oracle O(1) in SF;
+    * the scale path is q22. */
+  def q46NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ", -1)
+    def dropped(n: Int, shift: Long) = base.select(
+      (col("doc_id") + shift).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - n, lit(1))))
+        .as("text"))
+    val all = base.unionByName(dropped(2, 100000L)).unionByName(dropped(4, 200000L))
+    Dedup.nearDupClusters(all, "text", "doc_id", numHashes = 32, bands = 16)
+  }
+
+  val q46Sql: String = {
+    val norm = "LOWER(REGEXP_REPLACE(TRIM(text),'\\s+',' ','g'))"
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       | drop2 AS (
+       |  SELECT doc_id + 100000 AS doc_id,
+       |   array_to_string(string_split(text, ' ')[1:GREATEST(LEN(string_split(text,' '))-2, 1)], ' ') AS text
+       |  FROM base),
+       | drop4 AS (
+       |  SELECT doc_id + 200000 AS doc_id,
+       |   array_to_string(string_split(text, ' ')[1:GREATEST(LEN(string_split(text,' '))-4, 1)], ' ') AS text
+       |  FROM base),
+       | all_docs AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM drop2
+       |  UNION ALL SELECT * FROM drop4),
+       | sh AS (
+       |  SELECT doc_id,
+       |   CASE WHEN LEN(string_split($norm, ' ')) < 3
+       |        THEN [$norm]
+       |        ELSE list_distinct(list_transform(
+       |          range(0, LEN(string_split($norm, ' ')) - 2),
+       |          i -> array_to_string(string_split($norm, ' ')[i+1:i+3], ' ')))
+       |   END AS grams
+       |  FROM all_docs),
+       | pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |     / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+       | edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       | reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b)
+       |SELECT id AS doc_id, MIN(r) AS canonical FROM reach GROUP BY id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1042,7 +1115,8 @@ object QueriesExtra {
     "q42_langid_ngram" -> (q42LangIdNgram _),
     "q43_salted_agg" -> (q43SaltedAgg _),
     "q44_materialize_range" -> (q44MaterializeRange _),
-    "q45_yaml_retrieve" -> (q45YamlRetrieve _))
+    "q45_yaml_retrieve" -> (q45YamlRetrieve _),
+    "q46_neardup_clusters" -> (q46NeardupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1074,5 +1148,6 @@ object QueriesExtra {
     "q42_langid_ngram" -> q42Sql,
     "q43_salted_agg" -> q43Sql,
     "q44_materialize_range" -> q44Sql,
-    "q45_yaml_retrieve" -> q45Sql)
+    "q45_yaml_retrieve" -> q45Sql,
+    "q46_neardup_clusters" -> q46Sql)
 }

@@ -61,20 +61,21 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("_nl"))
+      // carry the pre-round label as _prev so convergence is readable off
+      // the checkpointed result — no dedicated compare-join/action per round
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("_prev"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
       // 2. pointer jump: label(v) := label(label(v)) — labels only
       // decrease (label(u) <= u for all u), so this never diverges
       val jumped = prop
         .join(prop.select(col("id").as("label"), col("label").as("_ll")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
+        .select(col("id"), col("_prev"),
+          coalesce(col("_ll"), col("label")).as("label"))
         .localCheckpoint(eager = true)
-      converged = jumped.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old"))
-        .isEmpty
-      labels = jumped
+      converged = jumped.filter(col("label") =!= col("_prev")).isEmpty
+      labels = jumped.select(col("id"), col("label"))
       it += 1
     }
     require(converged,

@@ -121,14 +121,26 @@ object PretrainPipeline {
   }
 
   /** Resume key for the staged exact-dedup intermediate: the sorted input
-    * file list (metadata-only — no scan) + the parameters the stage's
-    * output actually depends on. Input files rewritten in place between
-    * runs with identical names would NOT invalidate the stage (same
-    * trade-off as any path-keyed checkpoint); a lake layout where files
-    * are immutable makes the key exact. */
+    * file list (metadata-only — no scan) + the input's CANONICALIZED
+    * logical plan with metric-observation nodes stripped + the
+    * parameters the stage's output depends on. The plan component makes
+    * any caller-side transformation of the input (filter, limit, column
+    * rewrite) invalidate the stage; stripping `CollectMetrics` first
+    * keeps pure observability decoration (e.g. PipelineJob's input-count
+    * observe) from defeating resume. Input files rewritten in place
+    * between runs with identical names would still NOT invalidate the
+    * stage (same trade-off as any path-keyed checkpoint); a lake layout
+    * where files are immutable makes the key exact. */
   private def stageHash(df: DataFrame, textCol: String, idCol: String): String = {
+    // ANALYZED plan, not .logical: a bare `spark.read.parquet` stays a lazy
+    // UnresolvedDataSource node until analysis, while observe() wraps the
+    // already-analyzed relation — hashing .logical would make the same
+    // table hash differently depending on how the caller built it
+    val planKey = df.queryExecution.analyzed.transformUp {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.child
+    }.canonicalized.toString
     val key = df.inputFiles.sorted.mkString(",") +
-      s"|exact_dedup_v1|$textCol|$idCol"
+      s"|$planKey|exact_dedup_v1|$textCol|$idCol"
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map("%02x".format(_)).mkString

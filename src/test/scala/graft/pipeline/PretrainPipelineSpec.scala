@@ -147,6 +147,45 @@ class PretrainPipelineSpec extends SparkTestBase {
     assert(r4 === r1)
   }
 
+  test("resume key: caller transforms invalidate, observe decoration does not") {
+    val base = java.nio.file.Files.createTempDirectory("graft-resume2").toString
+    Seq(
+      (1L, "the value of a table row is in the scan and the plan is for " +
+        "the query of the data to be the best one of all the good runs"),
+      (2L, "a completely different english text with the usual words of " +
+        "the language that is good and long enough to pass the filters of this")
+    ).toDF("doc_id", "text").write.parquet(s"$base/in")
+    val stage = s"$base/stage"
+    def stageFiles(): Set[String] = {
+      val s0 = java.nio.file.Files.list(
+        java.nio.file.Paths.get(stage, "exact_dedup"))
+      try s0.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+      finally s0.close()
+    }
+
+    val plain = spark.read.parquet(s"$base/in")
+    PretrainPipeline.clean(plain, "text", "doc_id",
+      stageDir = Some(stage), resume = true).collect()
+    val f1 = stageFiles()
+
+    // pure metric decoration (observe) must HIT the manifest
+    val obs = new org.apache.spark.sql.Observation()
+    val decorated = plain.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+    PretrainPipeline.clean(decorated, "text", "doc_id",
+      stageDir = Some(stage), resume = true).collect()
+    assert(stageFiles() === f1, "observe decoration invalidated the stage")
+
+    // a real transformation of the SAME files must MISS and recompute
+    val r = PretrainPipeline.clean(plain.filter($"doc_id" === 2L), "text", "doc_id",
+      stageDir = Some(stage), resume = true)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(stageFiles() !== f1, "caller-side filter did not invalidate the stage")
+    assert(r === Seq(2L),
+      "resume served a stale unfiltered stage for a transformed input")
+  }
+
   test("clean is deterministic across runs and partitionings") {
     val docs = graft.datagen.TranscriptGen
       .turns(spark, nConvs = 30, avgTurns = 6, seed = 3L)

@@ -29,17 +29,18 @@ SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.ScalingBench $TURNS gen" >/dev/n
 run_level() { # $1 = cpus, $2 = core list
   # `|| true`: under set -e a run that produced no scaling JSON (sbt OOM,
   # crash) would otherwise kill the whole script mid-loop with stderr
-  # discarded; the empty-output check below reports it instead
+  # discarded. NOTE: run_level is invoked inside $(...), where `exit`
+  # would only leave the subshell — so a failed level emits the error to
+  # stderr and NO json line; the python summary step below fails loudly
+  # if a level ends up with zero samples.
   local log line
   log=$(mktemp)
   SPARK_DRIVER_MEM=$MEM taskset -c "$2" \
     sbt -batch "runMain graft.ScalingBench $TURNS $1" >"$log" 2>&1 || true
   line=$(grep -oE '\{"bench":"scaling".*' "$log" | tail -1 || true)
   if [ -z "$line" ]; then
-    echo "ERROR: level cpus=$1 produced no scaling JSON; last output:" >&2
+    echo "ERROR: level cpus=$1 round produced no scaling JSON; last output:" >&2
     tail -5 "$log" >&2
-    rm -f "$log"
-    exit 1
   fi
   rm -f "$log"
   echo "$line"
@@ -51,7 +52,7 @@ for r in $(seq 1 "$ROUNDS"); do
 $(run_level "$N" "0-$((N-1))")
 $(run_level "$M" "0-$((M-1))")"
 done
-echo "$OUT" | grep -E '"bench"'
+echo "$OUT" | grep -E '"bench"' || true
 TMPF=$(mktemp)
 echo "$OUT" > "$TMPF"
 python3 - "$N" "$M" "$TMPF" <<'EOF'
@@ -66,6 +67,10 @@ for line in open(sys.argv[3]):
     c = d["cpus"]
     if c not in best or d["turns_per_sec"] > best[c]["turns_per_sec"]:
         best[c] = d
+missing = [c for c in (lo, hi) if c not in best]
+if missing:
+    sys.exit(f"ERROR: no successful rounds for cpu level(s) {missing}; "
+             "cannot compute pinned efficiency (see ERROR lines above)")
 eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / (hi / lo)
 print(json.dumps({"bench": "scaling_efficiency_pinned",
                   "from_cpus": lo, "to_cpus": hi,
