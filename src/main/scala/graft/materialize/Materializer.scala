@@ -125,9 +125,14 @@ object Materializer {
     val st0 = System.nanoTime()
     val statsByBucket: Map[String, (Long, Option[String], Option[String])] =
       if (incomplete.isEmpty) Map.empty
-      else spark.read.parquet(outDir)
+      else spark.read
+        // list/read ONLY the freshly written bucket dirs (an incremental
+        // run against a years-deep sink must not relist — or infer its
+        // schema from — every historical partition); basePath keeps the
+        // bucket partition column in scope
+        .option("basePath", outDir)
+        .parquet(incomplete.toSeq.sorted.map(b => s"$outDir/bucket=$b"): _*)
         .withColumn("_b", col("bucket").cast("string"))
-        .filter(col("_b").isin(incomplete.toSeq: _*))
         .groupBy(col("_b"))
         .agg(count(lit(1)).as("rows"),
           min(col(tsCol)).cast("string").as("min_ts"),
@@ -150,7 +155,15 @@ object Materializer {
           if (done >= n) throw new RuntimeException(
             s"injected failure after $n buckets (test hook)")
         }
-        val (rows, minTs, maxTs) = statsByBucket.getOrElse(bucket, (0L, None, None))
+        // fail loudly if the write produced no data for an enumerated
+        // bucket (e.g. source changed between enumeration and write) —
+        // a silent rows=0 'complete' manifest would permanently skip a
+        // bucket that was never materialized
+        val (rows, minTs, maxTs) = statsByBucket.getOrElse(bucket,
+          throw new IllegalStateException(
+            s"bucket '$bucket' was enumerated as incomplete but the write " +
+              "produced no rows for it; refusing to commit a manifest " +
+              "(source changed mid-backfill?)"))
         writeManifest(manifestPath, Map(
           "bucket" -> bucket,
           "status" -> "complete",

@@ -66,14 +66,14 @@ object PretrainPipeline {
     *                 from an earlier run is REUSED instead of recomputed:
     *                 the stage write commits an atomic manifest (same
     *                 Materializer scheme the backfill sink uses) keyed by
-    *                 a resume hash over the input FILE LIST + the stage-
-    *                 relevant config, so a crashed/killed pipeline run
-    *                 restarts past its heaviest shuffle. A changed input
-    *                 or config invalidates the manifest; a partial write
-    *                 (no manifest) is re-done. Deliberately hashes input
-    *                 files, not the logical plan — caller-side plan
-    *                 decorations (e.g. `observe` metric nodes) must not
-    *                 defeat resume.
+    *                 a resume hash over the input FILE LIST + the input's
+    *                 analyzed-plan semantic hash + the stage-relevant
+    *                 config, so a crashed/killed pipeline run restarts
+    *                 past its heaviest shuffle. A changed input, a
+    *                 caller-side transformation (filter/limit/projection)
+    *                 or changed config invalidates the manifest; pure
+    *                 metric decoration (`observe`) does not; a partial
+    *                 write (no manifest) is re-done.
     */
   def clean(
       df: DataFrame,
@@ -121,16 +121,20 @@ object PretrainPipeline {
   }
 
   /** Resume key for the staged exact-dedup intermediate: the sorted input
-    * file list (metadata-only — no scan) + the input's CANONICALIZED
-    * logical plan with metric-observation nodes stripped + the
-    * parameters the stage's output depends on. The plan component makes
-    * any caller-side transformation of the input (filter, limit, column
-    * rewrite) invalidate the stage; stripping `CollectMetrics` first
-    * keeps pure observability decoration (e.g. PipelineJob's input-count
-    * observe) from defeating resume. Input files rewritten in place
-    * between runs with identical names would still NOT invalidate the
-    * stage (same trade-off as any path-keyed checkpoint); a lake layout
-    * where files are immutable makes the key exact. */
+    * file list (metadata-only — no scan) + the input plan's SEMANTIC
+    * hash with metric-observation nodes stripped + the parameters the
+    * stage's output depends on. The plan component makes any caller-side
+    * transformation of the input (filter, limit, column rewrite)
+    * invalidate the stage; stripping `CollectMetrics` first keeps pure
+    * observability decoration (e.g. PipelineJob's input-count observe)
+    * from defeating resume. `semanticHash` (structural, over the
+    * canonicalized plan) rather than a rendered plan STRING — plan
+    * strings truncate wide field lists at
+    * spark.sql.debug.maxToStringFields, which would collide distinct
+    * projections of a wide table. Input files rewritten in place between
+    * runs with identical names would still NOT invalidate the stage
+    * (same trade-off as any path-keyed checkpoint); a lake layout where
+    * files are immutable makes the key exact. */
   private def stageHash(df: DataFrame, textCol: String, idCol: String): String = {
     // ANALYZED plan, not .logical: a bare `spark.read.parquet` stays a lazy
     // UnresolvedDataSource node until analysis, while observe() wraps the
@@ -138,7 +142,7 @@ object PretrainPipeline {
     // table hash differently depending on how the caller built it
     val planKey = df.queryExecution.analyzed.transformUp {
       case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.child
-    }.canonicalized.toString
+    }.semanticHash()
     val key = df.inputFiles.sorted.mkString(",") +
       s"|$planKey|exact_dedup_v1|$textCol|$idCol"
     java.security.MessageDigest.getInstance("SHA-256")
