@@ -17,6 +17,14 @@ object QueriesExtra {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-process scratch path for queries that exercise a real write
+    * path (q35 stage, q44 sink, q48 index): keyed by the testdata dir so
+    * SFs don't collide, and by the PID so two concurrent driver
+    * processes (e.g. bench and the correctness gate) never race on
+    * overwrite/delete of the same dir. */
+  private def scratch(tag: String, dir: String): String =
+    s"/tmp/graft_${tag}_${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}"
+
   // ------------------------------------------------------------------- W4
   /** FIRST_VALUE / LAST_VALUE with the full-frame pin (SURVEY §2.4 W4;
     * test_snowflake_sources.py:14-15). */
@@ -556,7 +564,7 @@ object QueriesExtra {
       (col("doc_id") + 200000L).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1)))).as("text"))
     val corpus = base.unionByName(exactCopies).unionByName(mutated)
-    val stage = s"/tmp/graft_q35_stage_${dir.hashCode & 0x7fffffff}"
+    val stage = scratch("q35_stage", dir)
     graft.pipeline.PretrainPipeline.clean(corpus, "text", "doc_id",
       stageDir = Some(stage))
       .select(col("doc_id"), col("lang_pred"), col("quality"))
@@ -939,7 +947,7 @@ object QueriesExtra {
       col("event_id"), col("user_id"), col("ts"),
       (col("value") * 2.0).as("v2x"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_purchase"))
-    val sink = s"/tmp/graft_q44_sink_${dir.hashCode & 0x7fffffff}"
+    val sink = scratch("q44_sink", dir)
     val hp = new org.apache.hadoop.fs.Path(sink)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     graft.materialize.Materializer.materialize(s, feats, "ts", sink,
@@ -1085,6 +1093,139 @@ object QueriesExtra {
        |SELECT id AS doc_id, MIN(r) AS canonical FROM reach GROUP BY id""".stripMargin
   }
 
+  // ------------------------------ multi-view feature-service retrieval
+  /** The reference's actual product shape end-to-end: a feature SERVICE
+    * of TWO views (reference: customer_metrics.py:127-130 retrieves the
+    * multi-view `customer_insights` service), one over the raw events
+    * file source and one over a DERIVED daily-aggregate `spark` QUERY
+    * source (S2), retrieved in a single call. The engine executes the
+    * multi-view path ([[graft.asof.AsOfJoin.backwardMulti]]): both
+    * views' feature rows and the probe union into ONE window pass — one
+    * hash exchange for the whole service (MultiViewRetrieveSpec gates
+    * the plan; V exchanges would be the naive fold). The oracle replays
+    * each view as its own correlated ROW_NUMBER() point-in-time join and
+    * joins the two replays on (user, probe). Tie-breaks: (user_id, ts)
+    * and (user_id, day_ts) are both unique, so no equal-ts tie is
+    * exercised here (that is FeatureEngineSpec's job). */
+  def q47MultiViewService(s: SparkSession, dir: String): DataFrame = {
+    val engine = new graft.engine.FeatureEngine(s)
+    engine.applyConfig(Map(
+      "entities" -> Seq(Map(
+        "name" -> "user", "join_key" -> "user_id",
+        "description" -> "event actor")),
+      "data_sources" -> Map(
+        "events_src" -> Map(
+          "type" -> "file",
+          "path" -> s"$dir/events.parquet",
+          "timestamp_field" -> "ts"),
+        "daily_src" -> Map(
+          "type" -> "spark",
+          "query" -> (s"SELECT user_id, CAST(to_date(ts) AS TIMESTAMP) AS day_ts, " +
+            s"COUNT(*) AS n_events, " +
+            s"CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value " +
+            s"FROM parquet.`$dir/events.parquet` GROUP BY user_id, to_date(ts)"),
+          "timestamp_field" -> "day_ts"))))
+    engine.createFromYamlText(
+      """feature_views:
+        |  user_latest:
+        |    source_name: events_src
+        |    entities: [user]
+        |    ttl_days: 7
+        |    schema:
+        |      - name: value
+        |        dtype: FLOAT
+        |      - name: props
+        |        dtype: STRING
+        |  user_daily:
+        |    source_name: daily_src
+        |    entities: [user]
+        |    ttl_days: 3
+        |    schema:
+        |      - name: n_events
+        |        dtype: INT64
+        |      - name: day_value
+        |        dtype: FLOAT
+        |feature_services:
+        |  user_insights:
+        |    features: [user_latest, user_daily]""".stripMargin)
+    val probes = t(s, dir, "events").select(col("user_id")).distinct()
+      .crossJoin(probeTimes(s))
+      .select(col("user_id"), col("t").cast("timestamp").as("event_timestamp"))
+    engine.retrieve(probes, "user_insights")
+      .select(col("user_id"), col("event_timestamp").as("probe_ts"),
+        col("value"), col("props"), col("n_events"),
+        round(col("day_value"), 6).as("day_value"))
+  }
+
+  val q47Sql: String =
+    """WITH p AS (SELECT DISTINCT user_id FROM events),
+      | pr AS (
+      |  SELECT user_id, UNNEST([TIMESTAMP '2024-01-15 00:00:00',
+      |                          TIMESTAMP '2024-01-25 00:00:00']) AS probe_ts
+      |  FROM p),
+      | j1 AS (
+      |  SELECT pr.user_id, pr.probe_ts, e.value, e.props,
+      |   ROW_NUMBER() OVER (PARTITION BY pr.user_id, pr.probe_ts
+      |     ORDER BY e.ts DESC) AS rn
+      |  FROM pr LEFT JOIN events e
+      |    ON e.user_id = pr.user_id
+      |   AND e.ts <= pr.probe_ts
+      |   AND e.ts >= pr.probe_ts - INTERVAL 7 DAY),
+      | d AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+      |   COUNT(*) AS n_events,
+      |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      | j2 AS (
+      |  SELECT pr.user_id, pr.probe_ts, d.n_events, d.day_value,
+      |   ROW_NUMBER() OVER (PARTITION BY pr.user_id, pr.probe_ts
+      |     ORDER BY d.day_ts DESC) AS rn
+      |  FROM pr LEFT JOIN d
+      |    ON d.user_id = pr.user_id
+      |   AND d.day_ts <= pr.probe_ts
+      |   AND d.day_ts >= pr.probe_ts - INTERVAL 3 DAY)
+      |SELECT j1.user_id, j1.probe_ts, j1.value, j1.props,
+      | j2.n_events, ROUND(j2.day_value, 6) AS day_value
+      |FROM (SELECT * FROM j1 WHERE rn = 1) j1
+      |JOIN (SELECT * FROM j2 WHERE rn = 1) j2
+      |  ON j1.user_id = j2.user_id AND j1.probe_ts = j2.probe_ts""".stripMargin
+
+  // ----------------------------------- persisted IVF index (build/query)
+  /** Build-once / query-many ANN serving path
+    * ([[graft.similarity.IvfIndex]]): the index (centroids + centroid-
+    * partitioned corpus) is BUILT once per execution into a per-process
+    * scratch dir (wiped first so the real build path runs every time),
+    * then QUERIED TWICE — the gated result is the intersection of the
+    * two rounds, so any cross-query nondeterminism shrinks the row count
+    * below the oracle's and fails the gate. Oracle = q24's planted-copy
+    * relation (identical vector → same cell → always probed → cosine
+    * exactly 1.0 at rank 2 behind the query itself). IvfPlanSpec asserts
+    * the query path contains no Lloyd aggregation and partition-prunes
+    * the corpus scan to the probed cells. */
+  def q48IvfIndexQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val idx = scratch("q48_ivf", dir)
+    val hp = new org.apache.hadoop.fs.Path(idx)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    graft.similarity.IvfIndex.build(
+      base.unionByName(copies), "vec_id", "embedding", idx,
+      nCentroids = 16, dim = 64)
+    val queries = base.filter(col("vec_id") < 100)
+    def once(): DataFrame = graft.similarity.IvfIndex.query(
+      s, idx, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    once().intersect(once())
+      .filter(col("neighbor_id") === col("query_id") + 100000L)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val q48Sql: String =
+    """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+      | 1.0 AS cosine, CAST(2 AS BIGINT) AS rank
+      |FROM embeddings WHERE vec_id < 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1116,7 +1257,9 @@ object QueriesExtra {
     "q43_salted_agg" -> (q43SaltedAgg _),
     "q44_materialize_range" -> (q44MaterializeRange _),
     "q45_yaml_retrieve" -> (q45YamlRetrieve _),
-    "q46_neardup_clusters" -> (q46NeardupClusters _))
+    "q46_neardup_clusters" -> (q46NeardupClusters _),
+    "q47_multiview_service" -> (q47MultiViewService _),
+    "q48_ivf_index_query" -> (q48IvfIndexQuery _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1149,5 +1292,7 @@ object QueriesExtra {
     "q43_salted_agg" -> q43Sql,
     "q44_materialize_range" -> q44Sql,
     "q45_yaml_retrieve" -> q45Sql,
-    "q46_neardup_clusters" -> q46Sql)
+    "q46_neardup_clusters" -> q46Sql,
+    "q47_multiview_service" -> q47Sql,
+    "q48_ivf_index_query" -> q48Sql)
 }

@@ -110,6 +110,130 @@ object AsOfJoin {
         featPayload.map(c => col("_match").getField(c).as(c)): _*)
   }
 
+  /** One member feature table of a [[backwardMulti]] call.
+    *
+    * @param features   feature rows; must contain the join keys + `featTsCol`
+    * @param featTsCol  event-time column in `features`
+    * @param ttlSeconds optional per-view TTL
+    * @param tieBreak   feature columns breaking equal-ts ties (greatest wins)
+    * @param matchedTsName when set, emit the matched feature ts under this name
+    * @param outputCols payload columns to emit (default: all non-key,
+    *                   non-ts columns) — lets callers keep tie-break-only
+    *                   columns (e.g. a created-ts) out of the output
+    *                   without post-hoc drops that would collide across
+    *                   views
+    */
+  case class FeatureSide(
+      features: DataFrame,
+      featTsCol: String,
+      ttlSeconds: Option[Long] = None,
+      tieBreak: Seq[String] = Nil,
+      matchedTsName: Option[String] = None,
+      outputCols: Option[Seq[String]] = None)
+
+  /** Multi-view backward as-of join — V feature tables against one probe
+    * in ONE shuffle.
+    *
+    * The naive service retrieval folds [[backward]] per view: V
+    * union+window passes, each reshuffling the (growing, widening) probe
+    * result — V exchanges of the whole probe for a V-view service. Here
+    * all V feature tables and the probe union into ONE tagged stream,
+    * ONE window over the shared entity keys carries V `last(struct,
+    * ignoreNulls)` columns simultaneously, and per-view TTL gates apply
+    * afterwards — so a service of any width costs exactly one hash
+    * exchange of (probe + Σ features), the same as a single view.
+    * MultiViewPlanSpec gates the one-exchange shape; semantic equality
+    * with the per-view fold is FeatureEngineSpec's job.
+    *
+    * Requires every view to share the same entity `keys` (the engine
+    * falls back to the per-view fold otherwise). Per-view equal-ts
+    * tie-breaks order only rows of that view: other views' rows hold a
+    * null struct there, and `last(ignoreNulls)` never sees them.
+    */
+  def backwardMulti(
+      probe: DataFrame,
+      sides: Seq[FeatureSide],
+      keys: Seq[String],
+      probeTsCol: String): DataFrame = {
+    require(sides.nonEmpty, "backwardMulti needs at least one feature side")
+    val probePayload = probe.columns.toSeq.filterNot(keys.contains)
+
+    val payloads = sides.map { s =>
+      s.features.columns.toSeq.filterNot(c => keys.contains(c) || c == s.featTsCol)
+    }
+    // per-side struct columns (ts first, as in backward())
+    val structTypes = sides.zip(payloads).map { case (s, payload) =>
+      s.features.select(
+        struct((col(s.featTsCol).as("_fts") +: payload.map(col)): _*).as("_feat"))
+        .schema("_feat").dataType.asInstanceOf[StructType]
+    }
+
+    def sideRow(i: Int): DataFrame = {
+      val s = sides(i)
+      val payload = payloads(i)
+      s.features.select(
+        keys.map(col) ++ Seq(
+          col(s.featTsCol).as("_ts"),
+          lit(0).as("_side")) ++
+          sides.indices.map { j =>
+            if (j == i) struct((col(s.featTsCol).as("_fts") +: payload.map(col)): _*).as(s"_feat_$j")
+            else lit(null).cast(structTypes(j)).as(s"_feat_$j")
+          } ++
+          probePayload.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    }
+    val pSide = probe.select(
+      keys.map(col) ++ Seq(
+        col(probeTsCol).as("_ts"),
+        lit(1).as("_side")) ++
+        sides.indices.map(j => lit(null).cast(structTypes(j)).as(s"_feat_$j")) ++
+        probePayload.map(col): _*)
+
+    // Total order: (ts, side, then each view's tie-break fields). A
+    // view's tie-break fields are null on every other view's rows, so
+    // they only order rows WITHIN that view at equal ts — which is the
+    // contract (last() ignores the null structs of other views anyway).
+    val ordering: Seq[Column] =
+      col("_ts").asc +: col("_side").asc +:
+        sides.zipWithIndex.flatMap { case (s, j) =>
+          s.tieBreak.map(c => col(s"_feat_$j").getField(c).asc)
+        }
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val unioned = sides.indices.map(sideRow).reduce(_.unionByName(_)).unionByName(pSide)
+    // ONE select carrying every view's struct over the SAME window spec:
+    // Catalyst collapses same-spec window expressions into a single
+    // Window operator — sequential withColumn would rewrite the ordering
+    // expressions differently per step and plan V windows (V extra sorts)
+    val carried = unioned.select(
+      (unioned.columns.map(col) ++
+        sides.indices.map(j =>
+          last(col(s"_feat_$j"), ignoreNulls = true).over(w).as(s"_carried_$j"))): _*)
+      .filter(col("_side") === 1)
+
+    val gated = sides.zipWithIndex.foldLeft(carried) { case (df, (s, j)) =>
+      val inTtl: Column = s.ttlSeconds match {
+        case Some(sec) =>
+          col(s"_carried_$j").isNotNull &&
+            col(s"_carried_$j").getField("_fts") >=
+              (col("_ts") - expr(s"INTERVAL $sec SECONDS"))
+        case None => col(s"_carried_$j").isNotNull
+      }
+      df.withColumn(s"_match_$j", when(inTtl, col(s"_carried_$j")))
+    }
+
+    gated.select(
+      keys.map(col) ++
+        probePayload.map(col) ++
+        sides.zipWithIndex.flatMap { case (s, j) =>
+          val outCols = s.outputCols.getOrElse(payloads(j))
+          s.matchedTsName.toSeq.map(n => col(s"_match_$j").getField("_fts").as(n)) ++
+            outCols.map(c => col(s"_match_$j").getField(c).as(c))
+        }: _*)
+  }
+
   /** Broadcast variant for dimension-sized feature tables: the feature
     * table is collapsed to one sorted array per key (tiny shuffle on the
     * small side only), broadcast, and each probe row picks its match with

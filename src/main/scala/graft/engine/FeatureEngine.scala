@@ -256,9 +256,56 @@ class FeatureEngine(
       fullFeatureNames: Boolean = false): DataFrame = {
     val service = registry.getService(serviceName).getOrElse(
       throw new IllegalArgumentException(s"Feature service '$serviceName' not found"))
-    service.features.foldLeft(probe) { (acc, viewName) =>
-      retrieveView(acc, viewName, fullFeatureNames)
+    val views = service.features.map { vn =>
+      registry.getView(vn).getOrElse(
+        throw new IllegalArgumentException(s"Feature view '$vn' not found"))
     }
+    val keySets = views.map(_.entities.map(en => registry.getEntity(en).get.joinKey))
+    // Multi-view service over a SHARED entity key: one tagged union +
+    // one window carries every view's latest-row struct simultaneously —
+    // exactly ONE hash exchange for the whole service, vs one per view
+    // in the fold (each reshuffling the growing probe result). This is
+    // the service-retrieval shape that matters at 10^12 probe rows; the
+    // plan is gated by MultiViewPlanSpec, the fold-equality by
+    // FeatureEngineSpec.
+    if (views.size > 1 && keySets.distinct.size == 1) {
+      val keyCols = keySets.head
+      val sides = views.map { view => compileSide(view, keyCols, fullFeatureNames) }
+      AsOfJoin.backwardMulti(probe, sides, keyCols, "event_timestamp")
+    } else {
+      service.features.foldLeft(probe) { (acc, viewName) =>
+        retrieveView(acc, viewName, fullFeatureNames)
+      }
+    }
+  }
+
+  /** Compile one view into a [[AsOfJoin.FeatureSide]] for multi-view
+    * retrieval: same naming/tie-break contract as [[retrieveView]], with
+    * the created-ts tie-break kept out of the output projection (two
+    * views' `_created_ts` columns would otherwise collide). */
+  private def compileSide(
+      view: FeatureViewSpec,
+      keyCols: Seq[String],
+      fullFeatureNames: Boolean): AsOfJoin.FeatureSide = {
+    val compiled = compileView(view)
+    val hasCreated = compiled.columns.contains(CreatedTsCol)
+    val outNames =
+      if (fullFeatureNames) view.schema.map(f => s"${view.name}__${f.name}")
+      else view.schema.map(_.name)
+    val feats =
+      if (fullFeatureNames)
+        compiled.select(
+          (keyCols :+ "event_timestamp").map(col) ++
+            (if (hasCreated) Seq(col(CreatedTsCol)) else Nil) ++
+            view.schema.map(f => col(f.name).as(s"${view.name}__${f.name}")): _*)
+      else compiled
+    AsOfJoin.FeatureSide(
+      features = feats,
+      featTsCol = "event_timestamp",
+      ttlSeconds = Some(view.ttlSeconds),
+      tieBreak = if (hasCreated) Seq(CreatedTsCol) else Nil,
+      matchedTsName = None,
+      outputCols = Some(outNames))
   }
 
   /** Single-view point-in-time retrieval (used by retrieve and directly
