@@ -26,10 +26,37 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench")
     import spark.implicits._
 
+    // ---- host-load calibration (emitted as calibration_ms) ----
+    // A fixed single-thread CPU burn measured before the suite: its
+    // wall-clock depends only on the cycles the (shared, drifting) host
+    // actually delivers, so any reader can normalize suite totals across
+    // load windows by the ratio of calibration_ms between two artifacts
+    // (BASELINE.md "Load normalization"). Median of 3 — the median tracks
+    // sustained load where a min would report the one lucky quantum.
+    val calibrationMs = {
+      def burn(): Double = {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 100000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= (x >>> 33)
+          i += 1
+        }
+        if (x == 42L) print("") // keep the loop observable (defeat DCE)
+        (System.nanoTime() - t0) / 1e6
+      }
+      val runs = Seq(burn(), burn(), burn()).sorted
+      runs(1)
+    }
+
     // ---- transcript workload scaled to SF (sf0.1 → ~500k turns) ----
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val nConvs = math.max(200, (sf * 200000).toInt)
-    val turnsPath = s"/tmp/graft_bench_turns_sf$sf.parquet"
+    // cache key carries every generator parameter AND the generator
+    // version, so a TranscriptGen change can never benchmark stale parquet
+    val genKey = s"${TranscriptGen.Version}_n${nConvs}_a25_h5_f50_s42"
+    val turnsPath = s"/tmp/graft_bench_turns_sf${sf}_$genKey.parquet"
     if (!new java.io.File(turnsPath).exists()) {
       TranscriptGen.turns(spark, nConvs, avgTurns = 25, hotConvs = 5,
         hotFactor = 50, seed = 42L).toDF()
@@ -97,7 +124,7 @@ object Bench {
     val total = results.map(_._2).sum + matSec + asofSec
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +
-      s""""errors":$errJson,""" +
+      s""""errors":$errJson,"calibration_ms":${f"$calibrationMs%.1f"},""" +
       s""""sf":"$sfDir","cpus":$cpus,"transcript_turns":$nTurns,""" +
       s""""materialize_sec":${f"$matSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.0f"},""" +
       s""""asof_sec":${f"$asofSec%.3f"},"asof_rows":$nOut}""")

@@ -51,16 +51,16 @@ object PipelineJob {
     val docs = spark.read.parquet(inPath)
       .observe(obs, count(lit(1)).as("rows"))
 
-    val cleaned = PretrainPipeline.clean(docs, "text", "doc_id",
+    val (cleaned, stageReused) = PretrainPipeline.cleanDetailed(docs, "text", "doc_id",
       cfg = PretrainPipeline.Config(canonicalize = canon),
       stageDir = stageDir, resume = resume)
     cleaned.write.mode("overwrite").parquet(s"$outDir/clean")
 
-    // non-resume: the staging write already scanned the input once and the
-    // observation rode it for free; resume: that scan may have been skipped,
-    // so pay for the count (fires the observation too)
+    // when the staging write ran (fresh or invalidated manifest) the
+    // observation rode that scan for free — even under resume; only a
+    // genuine manifest reuse skipped the scan and must pay for the count
     val inDocs =
-      if (resume) docs.count()
+      if (stageReused) docs.count()
       else obs.get("rows").asInstanceOf[Long]
     val afterExact = spark.read.parquet(s"${stageDir.get}/exact_dedup").count()
     val stats = spark.read.parquet(s"$outDir/clean").agg(
@@ -78,7 +78,8 @@ object PipelineJob {
       s""""dropped_neardup_or_filtered":${afterExact - outDocs},""" +
       s""""avg_quality":${stats.get(1)},"n_langs":${stats.getLong(2)},""" +
       s""""out":"$outDir/clean","wall_ms":$wallMs,""" +
-      s""""cpus":$cpus,"resume":$resume,"docs_per_sec":${f"$docsPerSec%.0f"}}""")
+      s""""cpus":$cpus,"resume":$resume,"stage_reused":$stageReused,""" +
+      s""""docs_per_sec":${f"$docsPerSec%.0f"}}""")
     spark.stop()
   }
 }

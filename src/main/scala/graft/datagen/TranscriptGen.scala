@@ -21,6 +21,12 @@ import graft.features.Turn
   */
 object TranscriptGen {
 
+  /** Generator identity for cache keys: BUMP whenever `turns`/`genConv`
+    * output changes for the same parameters. Bench caches generated
+    * parquet keyed by (params, seed, this) — without the version a
+    * generator change would silently benchmark stale cached data. */
+  val Version: String = "g1"
+
   private val Vocab: Array[String] =
     ("the quick brown fox jumps over lazy dog spark scala feature engine " +
       "join window agg token session tool user assistant plan query data " +

@@ -62,10 +62,13 @@ object ConnectedComponents {
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("_nl"))
       // carry the pre-round label as _prev so convergence is readable off
-      // the checkpointed result — no dedicated compare-join/action per round
+      // the checkpointed result — no dedicated compare-join/action per
+      // round. Checkpointed BEFORE the pointer-jump self-join so the
+      // propagation shuffle runs once, not on both sides of the join.
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("_prev"),
           least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
       // 2. pointer jump: label(v) := label(label(v)) — labels only
       // decrease (label(u) <= u for all u), so this never diverges
       val jumped = prop
@@ -75,11 +78,21 @@ object ConnectedComponents {
           coalesce(col("_ll"), col("label")).as("label"))
         .localCheckpoint(eager = true)
       converged = jumped.filter(col("label") =!= col("_prev")).isEmpty
+      // free superseded checkpoints eagerly (the intermediate prop and
+      // the previous round's labels) — without this a long-lived session
+      // accumulates every round's blocks in the block manager
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(prop)
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(labels)
       labels = jumped.select(col("id"), col("label"))
       it += 1
     }
     require(converged,
       s"connected components did not converge within $maxIter rounds")
+    // sym is consumed only inside the loop; the FINAL labels checkpoint
+    // stays alive (it backs the returned DataFrame — a localCheckpoint
+    // cannot be recomputed) and is reclaimed by the ContextCleaner when
+    // the result goes out of scope.
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sym)
     labels.select(col("id"), col("label").as("component"))
   }
 

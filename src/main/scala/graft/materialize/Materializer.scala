@@ -101,6 +101,21 @@ object Materializer {
     val incomplete = buckets
       .filterNot(b => isComplete(manifestDir.resolve(s"$b.json"), hash)).toSet
 
+    // Delete any STALE data dirs of incomplete buckets before the write:
+    // dynamic partition overwrite only replaces buckets the current
+    // write produces rows for — a bucket dir left by a crashed run whose
+    // current write yields no rows (source changed mid-run) would
+    // otherwise survive, feed stale stats into the grouped job below,
+    // and commit a 'complete' manifest over stale bytes (r3 ADVICE #1).
+    // After this, "dir exists" ⇔ "the current write produced rows".
+    if (incomplete.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      incomplete.toSeq.sorted.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(outDir, s"bucket=$b"), true)
+      }
+    }
+
     // ONE distributed job writes every incomplete bucket; dynamic
     // partition overwrite replaces exactly the written bucket= dirs.
     // The source is scanned once per backfill, not once per bucket.
@@ -123,15 +138,27 @@ object Materializer {
     // backfill's ~1800 buckets. Manifests then commit per bucket (the
     // checkpoint/resume unit) as pure driver-side file IO.
     val st0 = System.nanoTime()
+    // read only bucket dirs the write actually produced (stale dirs were
+    // deleted above): a bucket that yielded no rows has no dir, stays out
+    // of statsByBucket, and hits the loud per-bucket refusal below rather
+    // than failing the whole stats job on a missing path
+    val writtenDirs =
+      if (incomplete.isEmpty) Nil
+      else {
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        incomplete.toSeq.sorted.map(b => s"$outDir/bucket=$b")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      }
     val statsByBucket: Map[String, (Long, Option[String], Option[String])] =
-      if (incomplete.isEmpty) Map.empty
+      if (writtenDirs.isEmpty) Map.empty
       else spark.read
         // list/read ONLY the freshly written bucket dirs (an incremental
         // run against a years-deep sink must not relist — or infer its
         // schema from — every historical partition); basePath keeps the
         // bucket partition column in scope
         .option("basePath", outDir)
-        .parquet(incomplete.toSeq.sorted.map(b => s"$outDir/bucket=$b"): _*)
+        .parquet(writtenDirs: _*)
         .withColumn("_b", col("bucket").cast("string"))
         .groupBy(col("_b"))
         .agg(count(lit(1)).as("rows"),

@@ -81,8 +81,23 @@ object PretrainPipeline {
       idCol: String = "doc_id",
       cfg: Config = Config(),
       stageDir: Option[String] = None,
-      resume: Boolean = false): DataFrame = {
+      resume: Boolean = false): DataFrame =
+    cleanDetailed(df, textCol, idCol, cfg, stageDir, resume)._1
+
+  /** [[clean]] plus whether a completed staged exact-dedup manifest was
+    * REUSED (true ⇒ this call skipped the staging scan of the input —
+    * callers whose metrics ride that scan via `observe`, e.g.
+    * [[graft.PipelineJob]]'s input count, must then pay for their own
+    * pass; false ⇒ the input was, or will be on execution, scanned). */
+  def cleanDetailed(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      cfg: Config = Config(),
+      stageDir: Option[String] = None,
+      resume: Boolean = false): (DataFrame, Boolean) = {
     val exact0 = Dedup.exact(df, textCol, idCol)
+    var stageReused = false
     val exact = stageDir match {
       case Some(dir) =>
         val manifest = java.nio.file.Paths.get(dir, "_exact_dedup_manifest.json")
@@ -98,7 +113,7 @@ object PretrainPipeline {
             "spec_hash" -> hash,
             "stage" -> "exact_dedup",
             "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
-        }
+        } else stageReused = true
         df.sparkSession.read.parquet(s"$dir/exact_dedup")
       case None => exact0
     }
@@ -113,11 +128,12 @@ object PretrainPipeline {
         graft.dedup.ConnectedComponents.dropSet(pairs)
           .select(col("id").as(idCol))
     }
-    exact.join(drops, Seq(idCol), "left_anti")
+    val out = exact.join(drops, Seq(idCol), "left_anti")
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&
         col("quality") >= cfg.minQuality)
+    (out, stageReused)
   }
 
   /** Resume key for the staged exact-dedup intermediate: the sorted input
@@ -140,13 +156,35 @@ object PretrainPipeline {
     // UnresolvedDataSource node until analysis, while observe() wraps the
     // already-analyzed relation — hashing .logical would make the same
     // table hash differently depending on how the caller built it
+    // Replace source-relation leaves with a schema-only placeholder
+    // BEFORE hashing: HadoopFsRelation (inside LogicalRelation) hashes
+    // by its FileIndex's identity hashCode, which is JVM-LOCAL — the raw
+    // plan's semanticHash differs across driver restarts, silently
+    // defeating every cross-process resume (caught live in r4: two
+    // identical PipelineJob runs produced different spec hashes). File
+    // identity still enters the key via the sorted path list below;
+    // caller-side transformations still change the plan structure above
+    // the placeholder. Output column names ride separately (a
+    // rename-only change alters the staged schema but not the
+    // canonicalized structure, where names are normalized away).
     val planKey = df.queryExecution.analyzed.transformUp {
       case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.child
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(r.output)
     }.semanticHash()
-    val key = df.inputFiles.sorted.mkString(",") +
-      s"|$planKey|exact_dedup_v1|$textCol|$idCol"
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map("%02x".format(_)).mkString
+    // fold paths into the digest incrementally — a lake-scale input has
+    // millions of file paths, and one concatenated driver-side string
+    // would be O(total path bytes) of memory churn per clean() call
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    df.inputFiles.sorted.foreach { p =>
+      digest.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.update(','.toByte)
+    }
+    digest.update(
+      s"|$planKey|${df.columns.mkString("~")}|exact_dedup_v1|$textCol|$idCol"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.digest().take(8).map("%02x".format(_)).mkString
   }
 }

@@ -80,6 +80,34 @@ object StreamingFeatures {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming NEAR-duplicate dedup: keep the first document per 64-bit
+    * SimHash signature ([[graft.functions.SimHash64]] — the batch
+    * pipeline's native scan scalar), watermark-bounded state.
+    *
+    * Collapses the signature-identical near-dup class DETERMINISTICALLY:
+    * SimHash here is a majority vote over DISTINCT normalized tokens, so
+    * exact copies plus every token-permutation / token-repetition /
+    * case / whitespace mutation of a document share one signature —
+    * mutations the exact-fingerprint [[streamingDedup]] misses
+    * (StreamingFeaturesSpec proves both the collapse and the batch
+    * equivalence). Hamming-radius matching (the batch path's 4×16-bit
+    * pigeonhole blocking, [[graft.dedup.Dedup.simhashPairs]]) needs
+    * OR-semantics across four band state stores — not expressible as a
+    * single watermarked dropDuplicates; run the batch near-dup pass over
+    * the landed corpus for that class. State cost: one long key per
+    * in-watermark signature, same as exact dedup.
+    */
+  def streamingNearDupDedup(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_sig", graft.functions.SimHash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_sig")
+      .drop("_sig")
+
   /** Running per-conversation state carried across micro-batches. */
   case class ConvState(turns: Long, tokens: Long, toolTurns: Long)
 

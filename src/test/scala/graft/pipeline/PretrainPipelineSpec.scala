@@ -147,6 +147,34 @@ class PretrainPipelineSpec extends SparkTestBase {
     assert(r4 === r1)
   }
 
+  test("resume hits across FRESH reads of the same path (driver-restart proxy)") {
+    // A separate spark.read.parquet builds a NEW InMemoryFileIndex —
+    // exactly what a restarted driver does. The raw analyzed-plan
+    // semanticHash keys on HadoopFsRelation, which hashes its FileIndex
+    // by JVM-local identity, so without the relation placeholder in
+    // stageHash every cross-process resume silently missed (caught live
+    // in r4: two identical PipelineJob runs, two different spec hashes).
+    val base = java.nio.file.Files.createTempDirectory("graft-resume3").toString
+    Seq(
+      (1L, "the value of a table row is in the scan and the plan is for " +
+        "the query of the data to be the best one of all the good runs"),
+      (2L, "a completely different english text with the usual words of " +
+        "the language that is good and long enough to pass the filters of this")
+    ).toDF("doc_id", "text").write.parquet(s"$base/in")
+    val stage = s"$base/stage"
+
+    val (_, reused1) = PretrainPipeline.cleanDetailed(
+      spark.read.parquet(s"$base/in"), "text", "doc_id",
+      stageDir = Some(stage), resume = true)
+    assert(!reused1, "first run cannot reuse a stage that does not exist")
+
+    val (df2, reused2) = PretrainPipeline.cleanDetailed(
+      spark.read.parquet(s"$base/in"), "text", "doc_id",
+      stageDir = Some(stage), resume = true)
+    assert(reused2, "fresh read of the same path must hit the stage manifest")
+    assert(df2.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("resume key: caller transforms invalidate, observe decoration does not") {
     val base = java.nio.file.Files.createTempDirectory("graft-resume2").toString
     Seq(

@@ -89,6 +89,49 @@ class StreamingFeaturesSpec extends SparkTestBase {
     assert(kept === Set(1L, 2L))
   }
 
+  test("streaming near-dup dedup collapses signature-identical mutations, " +
+       "identically to the batch path") {
+    import org.apache.spark.sql.functions.{col, min => smin, row_number}
+    val data = Seq(
+      DedupDoc(1L, "the quick brown fox jumps over dog", ts("2024-01-01 00:00:00")),
+      DedupDoc(2L, "an entirely unrelated document here", ts("2024-01-01 00:01:00")),
+      // token PERMUTATION + case/whitespace mutation of doc 1 — a
+      // near-dup the exact fingerprint would NOT catch
+      DedupDoc(3L, "dog  over JUMPS fox brown quick the", ts("2024-01-01 00:02:00")),
+      // token REPETITION mutation of doc 2 (distinct-token set unchanged)
+      DedupDoc(4L, "an an entirely unrelated document here here", ts("2024-01-01 00:03:00")),
+      DedupDoc(5L, "a third genuinely novel text", ts("2024-01-01 00:04:00")))
+
+    // precondition: these mutations are invisible to exact dedup
+    val fps = data.toDF().select(
+      graft.text.TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps.distinct.length === 5, "mutations must not be exact duplicates")
+
+    val input = MemoryStream[DedupDoc](spark)
+    val out = StreamingFeatures.streamingNearDupDedup(input.toDF(), "text")
+    val q = out.writeStream
+      .format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    // two micro-batches: doc 3's duplicate state must carry across
+    input.addData(data.take(2))
+    input.addData(data.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("neardup_stream")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 5L))
+
+    // batch equivalence: first row per SimHash64 signature over the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_sig")).orderBy(col("ts").asc, col("doc_id").asc)
+    val batchKept = data.toDF()
+      .withColumn("_sig", graft.functions.SimHash64(col("text")))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept === kept)
+  }
+
   test("tumbling windowed stats") {
     val data = Seq(
       Turn("c1", 0, "user", "a b", "", ts("2024-01-01 00:01:00")),
