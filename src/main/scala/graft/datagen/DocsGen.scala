@@ -4,14 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Deterministic synthetic documents corpus for pipeline benchmarks —
   * the documents-table shape (doc_id, text) at arbitrary scale, with a
-  * planted mixture that exercises every PretrainPipeline stage:
+  * planted mixture that exercises every PretrainPipeline stage. Per
+  * 20-id block:
   *
-  *  - 85% unique English-ish docs (40-60 tokens, every 3rd a real
-  *    English marker stopword so langId = en and quality = 1.0);
-  *  - 5% EXACT duplicates (id ≡ 17 mod 20 copies id-1);
-  *  - 5% NEAR duplicates (id ≡ 18 mod 20 is id-2 minus its last two
-  *    words — 3-gram Jaccard ≈ 0.96, well above the 0.8 threshold);
-  *  - 5% filtered content (id ≡ 19 mod 20, alternating German text and
+  *  - ids ≡ 0–12, 16: unique English-ish docs (40-60 tokens, every 3rd
+  *    a real English marker stopword so langId = en, quality = 1.0);
+  *  - ids ≡ 13/14/15: a planted STAR near-dup cluster (≥3 nodes) whose
+  *    pair-local and transitive canonicalizations DIVERGE. With g =
+  *    distinct 3-grams of base doc 13: doc 15 drops the last ~0.15·g
+  *    words of 13 (J(13,15) ≈ 0.84), doc 14 drops the last ~0.26·g
+  *    words (J(14,15) ≥ 0.85 — 14's grams are a prefix subset of 15's —
+  *    but J(13,14) ≤ 0.75 < 0.8; every margin ≥ 0.04 so banding misses
+  *    are ~1e-9/pair — a first cut at 0.30 put J(14,15) as low as
+  *    0.8056 and LSH missed 7 of 100k near-threshold edges at 1M docs). The verified ≥0.8 pair edges are thus
+  *    exactly (13,15) and (14,15): PairDrop removes only the greater id
+  *    of each pair → drops {15}; Components closes {13,14,15} → drops
+  *    {14,15}. Survivor delta = exactly n/20 docs (DocsGenSpec and the
+  *    BASELINE.md pipeline record assert the divergence).
+  *  - id ≡ 17: EXACT duplicate (copies id-1, i.e. 16);
+  *  - id ≡ 18: pairwise NEAR duplicate of 16 (id-2 minus its last two
+  *    words — 3-gram Jaccard ≈ 0.95; both models drop 18);
+  *  - id ≡ 19: filtered content (alternating German text and
   *    punctuation junk — dropped by the language / quality filters).
   *
   * Text is a pure function of doc_id (seeded per id), so the corpus is
@@ -41,8 +54,20 @@ object DocsGen {
     sb.toString
   }
 
+  /** Drop the trailing `frac` fraction (of the base's 3-gram count) of
+    * words — the star-cluster mutation operator. Prefix truncations are
+    * NESTED, which is what makes the pairwise Jaccards exact:
+    * J(base, drop(k)) = (g-k)/g with g = words-2 distinct grams. */
+  private def dropTail(base: String, frac: Double): String = {
+    val w = base.split(" ")
+    val k = math.max(1, math.round(frac * (w.length - 2)).toInt)
+    w.dropRight(k).mkString(" ")
+  }
+
   /** The document text for an id — pure and total. */
   def text(id: Long): String = (id % 20) match {
+    case 14 => dropTail(text(id - 1), 0.26) // star leaf: far from base 13…
+    case 15 => dropTail(text(id - 2), 0.15) // …but both within 0.8 of 15
     case 17 => text(id - 1) // exact duplicate
     case 18 => // near duplicate: drop the last two words
       val w = text(id - 2).split(" ")

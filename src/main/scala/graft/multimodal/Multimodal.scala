@@ -85,6 +85,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** Arrow-seam variant of [[extractFeatures]]: identical output, but
+    * the decode runs across a SERIALIZED Arrow-record-batch boundary
+    * ([[org.apache.spark.sql.GraftColumnBridge.mapViaArrowBatches]]) —
+    * the exact payload shape a `mapInArrow`/`mapInPandas` Python codec
+    * worker consumes. Swapping the stub for a real decoder changes only
+    * the batch consumer; batch sizing (`batchRows`) is the worker
+    * memory lever. MultimodalSpec gates arrow-path ≡ row-path. */
+  def extractFeaturesArrow(
+      df: DataFrame, dim: Int = 16, batchRows: Int = 512): DataFrame = {
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    // captured as plain values — the row function runs on executors and
+    // must not touch the Dataset
+    val inTypes = df.schema.fields.map(_.dataType)
+    val nIn = inTypes.length
+    org.apache.spark.sql.GraftColumnBridge.mapViaArrowBatches(
+      df, outSchema, batchRows) { row =>
+      val feats = stubDecode(
+        if (row.isNullAt(payloadIdx)) null else row.getBinary(payloadIdx), dim)
+      val out = new Array[Any](nIn + 1)
+      var i = 0
+      while (i < nIn) {
+        out(i) = row.get(i, inTypes(i))
+        i += 1
+      }
+      out(nIn) =
+        if (feats == null) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(feats)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    }
+  }
+
   /** "Resize" stub: rewrites image meta dims, passes payload through —
     * exercises metadata-typed transforms over opaque binaries. */
   def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {

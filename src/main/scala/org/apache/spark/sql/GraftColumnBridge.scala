@@ -12,6 +12,53 @@ object GraftColumnBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Run a per-row transform ACROSS A SERIALIZED-ARROW BOUNDARY: each
+    * partition's rows are encoded into Arrow record batches
+    * (`maxRecordsPerBatch` rows each), the transform consumes rows
+    * DESERIALIZED FROM THOSE BYTES and its outputs are re-encoded to
+    * Arrow before becoming the result DataFrame.
+    *
+    * This is the exact data path of PySpark's `mapInArrow`/`mapInPandas`
+    * (whose Scala-side plumbing is likewise private): the bytes handed
+    * to `rowFn`'s iterator are what a Python codec worker would receive
+    * on its socket. graft's multimodal stage uses it so the production
+    * swap — replace the in-JVM stub with a real decode worker — changes
+    * only the consumer of the batches, not the plumbing
+    * (`graft.multimodal.Multimodal.extractFeaturesArrow`;
+    * MultimodalSpec asserts arrow-path ≡ row-path equality).
+    *
+    * Implementation note: `queryExecution.toRdd` + `internalCreateDataFrame`
+    * is the same internal seam `ArrowEvalExec` builds on — this is
+    * infrastructure-level plumbing, not an operator expressed via RDDs.
+    */
+  def mapViaArrowBatches(
+      df: Dataset[Row],
+      outSchema: org.apache.spark.sql.types.StructType,
+      maxRecordsPerBatch: Int)(
+      rowFn: org.apache.spark.sql.catalyst.InternalRow =>
+        org.apache.spark.sql.catalyst.InternalRow): Dataset[Row] = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val inSchema = df.schema
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      // rows → serialized Arrow batches (the worker-bound payload)
+      val inBatches = execution.arrow.ArrowConverters.toBatchIterator(
+        it, inSchema, maxRecordsPerBatch.toLong, tz,
+        true, false, ctx)
+      // worker side: decode batches → transform rows → encode batches
+      val transformed = execution.arrow.ArrowConverters.fromBatchIterator(
+        inBatches, inSchema, tz, true, false, ctx).map(rowFn)
+      val outBatches = execution.arrow.ArrowConverters.toBatchIterator(
+        transformed, outSchema, maxRecordsPerBatch.toLong, tz,
+        true, false, ctx)
+      // engine side: decode the worker's batches back to rows
+      execution.arrow.ArrowConverters.fromBatchIterator(
+        outBatches, outSchema, tz, true, false, ctx)
+    }
+    spark.internalCreateDataFrame(rdd, outSchema)
+  }
+
   /** Free the block-manager storage behind a `localCheckpoint`ed
     * Dataset. `Dataset.unpersist` only talks to the CacheManager and is
     * a no-op for checkpoints; the data actually lives in the persisted

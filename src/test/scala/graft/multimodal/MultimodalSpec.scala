@@ -27,6 +27,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(c.isNullAt(0))
   }
 
+  test("arrow-batch path equals the row path (incl. nulls, multi-batch partitions)") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+      .withColumn("payload",
+        when($"media_id" % 17 === 0, lit(null).cast("binary")).otherwise($"payload"))
+      .repartition(3) // 40 rows/partition; batchRows=16 forces multi-batch
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.select($"media_id", $"meta.media_type", $"features")
+        .as[(Long, String, Option[Seq[Float]])].collect().sortBy(_._1).toSeq
+    val rowPath = collected(Multimodal.extractFeatures(media, dim = 16))
+    val arrowPath = collected(
+      Multimodal.extractFeaturesArrow(media, dim = 16, batchRows = 16))
+    assert(arrowPath === rowPath)
+    assert(arrowPath.count(_._3.isEmpty) > 0, "null-payload rows must survive")
+  }
+
   test("resizeMeta caps image dims, preserves aspect hint, ignores non-images") {
     val media = Multimodal.syntheticMedia(spark, 100)
     val resized = Multimodal.resizeMeta(media, maxSide = 128)
