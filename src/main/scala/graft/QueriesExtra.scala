@@ -1226,6 +1226,53 @@ object QueriesExtra {
       | 1.0 AS cosine, CAST(2 AS BIGINT) AS rank
       |FROM embeddings WHERE vec_id < 100""".stripMargin
 
+  // ------------------------------------- streaming near-dup (driver gate)
+  /** Structured Streaming in the driver gate (SURVEY §2.1 S7 —
+    * previously spec-only): token-NAMESPACED synthetic docs (40 tokens
+    * `w<id*100+j>`, disjoint across ids — replayed identically by
+    * DuckDB) plus token-REVERSED copies (id+100000, arriving in a LATER
+    * micro-batch) stream through [[graft.streaming.StreamingFeatures
+    * .streamingNearDupDedup]]. SimHash64 is a majority vote over
+    * DISTINCT tokens, so a reversed copy is signature-identical
+    * deterministically and every copy is dropped against batch-1
+    * state — survivors are exactly the originals, which DuckDB states
+    * directly. Disjoint token sets make intra-batch-1 signature
+    * collisions structurally absent (an earlier cut streamed REAL
+    * documents rows and lost 26/300 to organic signature collisions —
+    * real dedup behavior, but not oracle-replayable without simhash).
+    * The 300-row driver-side generation builds the TEST stream only —
+    * the operator under test is the streaming query itself. */
+  def q49StreamingNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val originals = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long].collect().sorted
+      .map { id =>
+        (id, (1 to 40).map(j => s"w${id * 100 + j}").mkString(" "),
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+    val copies = originals.map { case (id, tx, _) =>
+      (id + 100000L, tx.split(" ").reverse.mkString(" "),
+        java.sql.Timestamp.valueOf("2024-01-01 00:10:00")) }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)](s)
+    val out = graft.streaming.StreamingFeatures.streamingNearDupDedup(
+      input.toDF().toDF("doc_id", "text", "ts"), "text")
+    val table = s"q49_stream_${ProcessHandle.current().pid()}"
+    val q = out.writeStream.format("memory").queryName(table)
+      .outputMode("append").start()
+    try {
+      input.addData(originals.toSeq) // batch 1: originals seed the state
+      input.addData(copies.toSeq)    // batch 2: every copy collapses
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(table).select(col("doc_id"), col("text"))
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      | array_to_string(list_transform(range(1, 41),
+      |   j -> 'w' || CAST(doc_id * 100 + j AS VARCHAR)), ' ') AS text
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1259,7 +1306,8 @@ object QueriesExtra {
     "q45_yaml_retrieve" -> (q45YamlRetrieve _),
     "q46_neardup_clusters" -> (q46NeardupClusters _),
     "q47_multiview_service" -> (q47MultiViewService _),
-    "q48_ivf_index_query" -> (q48IvfIndexQuery _))
+    "q48_ivf_index_query" -> (q48IvfIndexQuery _),
+    "q49_streaming_neardup" -> (q49StreamingNeardup _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1294,5 +1342,6 @@ object QueriesExtra {
     "q45_yaml_retrieve" -> q45Sql,
     "q46_neardup_clusters" -> q46Sql,
     "q47_multiview_service" -> q47Sql,
-    "q48_ivf_index_query" -> q48Sql)
+    "q48_ivf_index_query" -> q48Sql,
+    "q49_streaming_neardup" -> q49Sql)
 }
