@@ -54,12 +54,16 @@ object Bench {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val nConvs = math.max(200, (sf * 200000).toInt)
     // cache key carries every generator parameter AND the generator
-    // version, so a TranscriptGen change can never benchmark stale parquet
-    val genKey = s"${TranscriptGen.Version}_n${nConvs}_a25_h5_f50_s42"
+    // version, so a TranscriptGen change can never benchmark stale
+    // parquet; key and call share the SAME named values so they cannot
+    // silently desync
+    val (avgTurns, hotConvs, hotFactor, genSeed) = (25, 5, 50, 42L)
+    val genKey = s"${TranscriptGen.Version}_n${nConvs}_a${avgTurns}" +
+      s"_h${hotConvs}_f${hotFactor}_s$genSeed"
     val turnsPath = s"/tmp/graft_bench_turns_sf${sf}_$genKey.parquet"
     if (!new java.io.File(turnsPath).exists()) {
-      TranscriptGen.turns(spark, nConvs, avgTurns = 25, hotConvs = 5,
-        hotFactor = 50, seed = 42L).toDF()
+      TranscriptGen.turns(spark, nConvs, avgTurns = avgTurns, hotConvs = hotConvs,
+        hotFactor = hotFactor, seed = genSeed).toDF()
         .write.mode("overwrite").parquet(turnsPath)
     }
     val turns = spark.read.parquet(turnsPath)

@@ -21,9 +21,28 @@ object QueriesExtra {
     * path (q35 stage, q44 sink, q48 index): keyed by the testdata dir so
     * SFs don't collide, and by the PID so two concurrent driver
     * processes (e.g. bench and the correctness gate) never race on
-    * overwrite/delete of the same dir. */
-  private def scratch(tag: String, dir: String): String =
-    s"/tmp/graft_${tag}_${dir.hashCode & 0x7fffffff}_p${ProcessHandle.current().pid()}"
+    * overwrite/delete of the same dir. PID-keyed paths are never reused
+    * by later processes, so each is registered for recursive deletion at
+    * JVM exit — repeated gate/bench invocations would otherwise fill
+    * /tmp with corpus-scale leftovers. */
+  private val scratchRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def scratch(tag: String, dir: String): String = {
+    val p = s"/tmp/graft_${tag}_${dir.hashCode & 0x7fffffff}" +
+      s"_p${ProcessHandle.current().pid()}"
+    if (scratchRegistered.add(p)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del))
+            f.delete(): Unit
+          }
+          del(new java.io.File(p))
+        } catch { case _: Throwable => () }))
+    }
+    p
+  }
 
   // ------------------------------------------------------------------- W4
   /** FIRST_VALUE / LAST_VALUE with the full-frame pin (SURVEY §2.4 W4;
@@ -972,9 +991,11 @@ object QueriesExtra {
     * the backward as-of join with TTL for a probe grid (every user at
     * two fixed timestamps). The oracle replays the point-in-time
     * semantics directly: latest event with `ts ∈ [probe − 7d, probe]`
-    * per (user, probe), nulls where none (left-outer). (user_id, ts) is
-    * unique in `events`, so no tie-break is exercised — equal-ts
-    * created-column tie-breaks are FeatureEngineSpec's job. */
+    * per (user, probe), nulls where none (left-outer). `event_id` rides
+    * as the created-timestamp tie-break on BOTH sides (greatest wins),
+    * so the gate stays deterministic even if regenerated testdata gains
+    * equal-(user, ts) rows; behavioral tie-break semantics are
+    * FeatureEngineSpec's job. */
   def q45YamlRetrieve(s: SparkSession, dir: String): DataFrame = {
     val engine = new graft.engine.FeatureEngine(s)
     engine.applyConfig(Map(
@@ -984,7 +1005,12 @@ object QueriesExtra {
       "data_sources" -> Map("events_src" -> Map(
         "type" -> "file",
         "path" -> s"$dir/events.parquet",
-        "timestamp_field" -> "ts"))))
+        "timestamp_field" -> "ts",
+        // unique tie-break key so equal-ts rows (none in current
+        // testdata, but regeneration must not break the gate) resolve
+        // identically on both sides: greatest created wins in the
+        // engine ↔ ORDER BY ts DESC, event_id DESC in the oracle
+        "created_timestamp_column" -> "event_id"))))
     engine.createFromYamlText(
       """feature_views:
         |  user_latest:
@@ -1021,7 +1047,7 @@ object QueriesExtra {
       | j AS (
       |  SELECT pr.user_id, pr.probe_ts, e.value, e.props,
       |   ROW_NUMBER() OVER (PARTITION BY pr.user_id, pr.probe_ts
-      |     ORDER BY e.ts DESC) AS rn
+      |     ORDER BY e.ts DESC, e.event_id DESC) AS rn
       |  FROM pr LEFT JOIN events e
       |    ON e.user_id = pr.user_id
       |   AND e.ts <= pr.probe_ts
@@ -1104,9 +1130,9 @@ object QueriesExtra {
     * hash exchange for the whole service (MultiViewRetrieveSpec gates
     * the plan; V exchanges would be the naive fold). The oracle replays
     * each view as its own correlated ROW_NUMBER() point-in-time join and
-    * joins the two replays on (user, probe). Tie-breaks: (user_id, ts)
-    * and (user_id, day_ts) are both unique, so no equal-ts tie is
-    * exercised here (that is FeatureEngineSpec's job). */
+    * joins the two replays on (user, probe). Tie-breaks: the events
+    * view carries `event_id` as its created-ts tie-break on both sides;
+    * (user_id, day_ts) is unique by GROUP BY construction. */
   def q47MultiViewService(s: SparkSession, dir: String): DataFrame = {
     val engine = new graft.engine.FeatureEngine(s)
     engine.applyConfig(Map(
@@ -1117,7 +1143,9 @@ object QueriesExtra {
         "events_src" -> Map(
           "type" -> "file",
           "path" -> s"$dir/events.parquet",
-          "timestamp_field" -> "ts"),
+          "timestamp_field" -> "ts",
+          // unique tie-break (see q45): greatest event_id wins equal-ts
+          "created_timestamp_column" -> "event_id"),
         "daily_src" -> Map(
           "type" -> "spark",
           "query" -> (s"SELECT user_id, CAST(to_date(ts) AS TIMESTAMP) AS day_ts, " +
@@ -1166,7 +1194,7 @@ object QueriesExtra {
       | j1 AS (
       |  SELECT pr.user_id, pr.probe_ts, e.value, e.props,
       |   ROW_NUMBER() OVER (PARTITION BY pr.user_id, pr.probe_ts
-      |     ORDER BY e.ts DESC) AS rn
+      |     ORDER BY e.ts DESC, e.event_id DESC) AS rn
       |  FROM pr LEFT JOIN events e
       |    ON e.user_id = pr.user_id
       |   AND e.ts <= pr.probe_ts
@@ -1209,9 +1237,12 @@ object QueriesExtra {
     val idx = scratch("q48_ivf", dir)
     val hp = new org.apache.hadoop.fs.Path(idx)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    // iters=1: the planted-copy oracle is centroid-quality-independent
+    // (identical vectors land in the same cell for ANY centroid table);
+    // centroid refinement quality is IvfIndexSpec/SimilaritySpec's job
     graft.similarity.IvfIndex.build(
       base.unionByName(copies), "vec_id", "embedding", idx,
-      nCentroids = 16, dim = 64)
+      nCentroids = 16, dim = 64, iters = 1)
     val queries = base.filter(col("vec_id") < 100)
     def once(): DataFrame = graft.similarity.IvfIndex.query(
       s, idx, queries, "vec_id", "embedding", k = 5, nProbe = 4)
@@ -1261,6 +1292,12 @@ object QueriesExtra {
       .outputMode("append").start()
     try {
       input.addData(originals.toSeq) // batch 1: originals seed the state
+      // force the micro-batch boundary BEFORE the copies arrive: two
+      // back-to-back addData calls coalesce into one batch, and
+      // intra-batch dedup keeps whichever row a shuffle happens to
+      // deliver first — the determinism of this gate rests on the
+      // copies testing committed batch-1 STATE, not intra-batch order
+      q.processAllAvailable()
       input.addData(copies.toSeq)    // batch 2: every copy collapses
       q.processAllAvailable()
     } finally q.stop()

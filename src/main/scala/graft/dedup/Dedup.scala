@@ -123,14 +123,26 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` mixed K-M hash
     * functions, the min over shingle hashes. Pure columnar (transform +
     * aggregate), no UDF. (Expression form; the scale path is
-    * [[minhashSignatures]].) */
+    * [[minhashSignatures]].)
+    *
+    * The mix runs as CHAINED transforms, one finalizer stage per
+    * lambda: higher-order functions are interpreted with no
+    * common-subexpression elimination (CLAUDE.md), so a single lambda
+    * containing the whole mix64 tree would re-evaluate each stage's
+    * input wherever it appears (~8× the arithmetic per element);
+    * referencing the lambda VARIABLE twice is a cheap bound lookup. */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column = {
     // evaluate the two base hashes once per shingle, derive all rows
     val hashed = transform(shinglesCol,
       s => struct(xxhash64(s).as("h1"), xxhash64(s, lit(KmSeed)).as("h2")))
     array((0 until numHashes).map { i =>
-      array_min(transform(hashed,
-        h => mix64(h.getField("h1") + lit(i.toLong) * h.getField("h2"))))
+      val comb = transform(hashed,
+        h => h.getField("h1") + lit(i.toLong) * h.getField("h2"))
+      val s1 = transform(comb,
+        z => z.bitwiseXOR(shiftrightunsigned(z, 30)) * lit(0xBF58476D1CE4E5B9L))
+      val s2 = transform(s1,
+        z => z.bitwiseXOR(shiftrightunsigned(z, 27)) * lit(0x94D049BB133111EBL))
+      array_min(transform(s2, z => z.bitwiseXOR(shiftrightunsigned(z, 31))))
     }: _*)
   }
 

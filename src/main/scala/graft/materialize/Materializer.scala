@@ -101,18 +101,33 @@ object Materializer {
     val incomplete = buckets
       .filterNot(b => isComplete(manifestDir.resolve(s"$b.json"), hash)).toSet
 
-    // Delete any STALE data dirs of incomplete buckets before the write:
-    // dynamic partition overwrite only replaces buckets the current
-    // write produces rows for — a bucket dir left by a crashed run whose
-    // current write yields no rows (source changed mid-run) would
-    // otherwise survive, feed stale stats into the grouped job below,
-    // and commit a 'complete' manifest over stale bytes (r3 ADVICE #1).
-    // After this, "dir exists" ⇔ "the current write produced rows".
-    if (incomplete.nonEmpty) {
+    // Delete every bucket= data dir that has NO complete manifest before
+    // the write — not just dirs of currently-enumerated incomplete
+    // buckets. Dynamic partition overwrite only replaces buckets the
+    // current write produces rows for, so an uncommitted dir from a
+    // crashed run would otherwise survive in two ways: (a) its bucket is
+    // enumerated but the new write yields no rows for it → stale stats
+    // feed the grouped job and a 'complete' manifest commits stale bytes
+    // (r3 ADVICE #1); (b) its date vanished from the source entirely →
+    // the orphan rows stay visible to every outDir reader forever.
+    // Complete-manifested dirs are never touched (incremental backfills
+    // legitimately keep historical buckets outside the current window).
+    // After this, "dir exists without manifest" ⇔ "the current write
+    // produced rows for it".
+    locally {
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      incomplete.toSeq.sorted.foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(outDir, s"bucket=$b"), true)
+      val base = new org.apache.hadoop.fs.Path(outDir)
+      if (fs.exists(base)) {
+        fs.listStatus(base).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith("bucket=")) {
+            val b = name.stripPrefix("bucket=")
+            val committed = parseManifest(manifestDir.resolve(s"$b.json"))
+              .exists(_.path("status").asText() == "complete")
+            if (!committed) fs.delete(st.getPath, true)
+          }
+        }
       }
     }
 

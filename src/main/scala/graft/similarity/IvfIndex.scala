@@ -41,7 +41,8 @@ object IvfIndex {
       indexDir: String,
       nCentroids: Int = 16,
       dim: Int = 64,
-      iters: Int = 2): Unit = {
+      iters: Int = 2,
+      filesPerCell: Int = 4): Unit = {
     val ctrs = Similarity.centroids(corpus, idCol, vecCol, nCentroids, dim, iters)
     ctrs.select(col("centroid_id"), col("_ctr").as("centroid"))
       .coalesce(1)
@@ -54,6 +55,17 @@ object IvfIndex {
         element_at(
           graft.functions.NearestCentroids(col(vecCol), cids, cvecs, k = 1), 1)
           .cast("int").as("centroid_id"))
+      // cluster by (cell, salt) before the partitioned write: without
+      // any clustering every write task emits a file into every
+      // `centroid_id=` dir (tasks × cells small files — at 1000
+      // executors × nCentroids cells the classic small-file explosion),
+      // while clustering on the cell alone would collapse the write to
+      // ≤ nCentroids reducers and make one hot cell a straggler. The
+      // salt bounds files per dir at ~filesPerCell AND keeps up to
+      // nCentroids × filesPerCell writers busy; assignment itself still
+      // runs at full scan parallelism above.
+      .repartition(col("centroid_id"),
+        pmod(xxhash64(col("id")), lit(filesPerCell)))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$indexDir/corpus")
   }
 

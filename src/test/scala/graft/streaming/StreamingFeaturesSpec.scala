@@ -80,7 +80,11 @@ class StreamingFeaturesSpec extends SparkTestBase {
     val q = out.writeStream
       .format("memory").queryName("dedup_stream")
       .outputMode("append").start()
-    input.addData(data)
+    // forced batch boundary: the duplicates must test committed state,
+    // not shuffle-order-dependent intra-batch survivor choice
+    input.addData(data.take(2))
+    q.processAllAvailable()
+    input.addData(data.drop(2))
     q.processAllAvailable()
     q.stop()
 
@@ -112,8 +116,11 @@ class StreamingFeaturesSpec extends SparkTestBase {
     val q = out.writeStream
       .format("memory").queryName("neardup_stream")
       .outputMode("append").start()
-    // two micro-batches: doc 3's duplicate state must carry across
+    // two micro-batches: doc 3's duplicate state must carry across —
+    // the boundary must be FORCED (back-to-back addData coalesces into
+    // one batch, and intra-batch survivor order is shuffle-dependent)
     input.addData(data.take(2))
+    q.processAllAvailable()
     input.addData(data.drop(2))
     q.processAllAvailable()
     q.stop()
