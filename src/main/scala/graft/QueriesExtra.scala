@@ -1310,6 +1310,61 @@ object QueriesExtra {
       |   j -> 'w' || CAST(doc_id * 100 + j AS VARCHAR)), ' ') AS text
       |FROM documents WHERE doc_id < 300""".stripMargin
 
+  // ------------------------------------------------- PII redaction
+  /** PII scrubbing ([[graft.text.Redact]]) driver-gated: emails, dashed
+    * phone numbers and IPv4 addresses are planted into `documents` text
+    * by pure doc_id arithmetic (every 3rd doc stays clean to exercise
+    * the zero-count path), then masked with stable placeholders and
+    * counted on the raw text. The patterns are RE2-compatible (no
+    * backreferences/lookaround), so DuckDB replays both the plant and
+    * the regex semantics byte-for-byte. */
+  def q50PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com tel 555-"),
+      (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+      lit("-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+      lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 13, lit(256)).cast("string"))
+    Dedup.spread(t(s, dir, "documents"))
+      .withColumn("etext",
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text")).otherwise(pii))
+      .select(
+        col("doc_id"),
+        graft.text.Redact.scrub(col("etext")).as("clean_text"),
+        graft.text.Redact.redactionCount(col("etext")).as("n_redactions"))
+  }
+
+  val q50Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    s"""WITH e AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN text
+       |  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |   || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+       |   || '.com tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+       |   || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+       |   || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |   || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+       |  END AS etext
+       | FROM documents)
+       |SELECT doc_id,
+       | regexp_replace(regexp_replace(regexp_replace(etext,
+       |   '$email', '<EMAIL>', 'g'),
+       |   '$phone', '<PHONE>', 'g'),
+       |   '$ipv4', '<IP>', 'g') AS clean_text,
+       | CAST(LEN(regexp_extract_all(etext, '$email'))
+       |  + LEN(regexp_extract_all(etext, '$phone'))
+       |  + LEN(regexp_extract_all(etext, '$ipv4')) AS BIGINT) AS n_redactions
+       |FROM e""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1344,7 +1399,8 @@ object QueriesExtra {
     "q46_neardup_clusters" -> (q46NeardupClusters _),
     "q47_multiview_service" -> (q47MultiViewService _),
     "q48_ivf_index_query" -> (q48IvfIndexQuery _),
-    "q49_streaming_neardup" -> (q49StreamingNeardup _))
+    "q49_streaming_neardup" -> (q49StreamingNeardup _),
+    "q50_pii_redact" -> (q50PiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1380,5 +1436,6 @@ object QueriesExtra {
     "q46_neardup_clusters" -> q46Sql,
     "q47_multiview_service" -> q47Sql,
     "q48_ivf_index_query" -> q48Sql,
-    "q49_streaming_neardup" -> q49Sql)
+    "q49_streaming_neardup" -> q49Sql,
+    "q50_pii_redact" -> q50Sql)
 }

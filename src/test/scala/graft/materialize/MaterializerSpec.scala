@@ -40,6 +40,25 @@ class MaterializerSpec extends SparkTestBase {
     assert(back.columns.toSet === feats.columns.toSet)
   }
 
+  test("orphan bucket dirs without a complete manifest are purged; manifested ones kept") {
+    val out = freshOut()
+    Materializer.materialize(spark, feats, "ts", out)
+
+    // simulate a crashed run's leftovers: a data dir for a date that no
+    // longer exists in the source and has NO manifest
+    val orphan = java.nio.file.Paths.get(out, "bucket=1999-12-31")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+
+    val report = Materializer.materialize(spark, feats, "ts", out)
+    // all real buckets resumed untouched; the orphan dir is gone — its
+    // rows would otherwise be visible to every reader of outDir forever
+    assert(report.completed === 0 && report.skipped === report.buckets.size)
+    assert(!java.nio.file.Files.exists(orphan),
+      "uncommitted orphan bucket dir must be purged")
+    assert(Materializer.read(spark, out).count() === feats.count())
+  }
+
   test("resume: crash mid-backfill, rerun skips completed buckets, output identical") {
     val out = freshOut()
     intercept[RuntimeException] {
