@@ -1365,6 +1365,86 @@ object QueriesExtra {
        |FROM e""".stripMargin
   }
 
+  // ------------------------------------------- repetition signals
+  /** Gopher-style repetition filters driver-gated: a lined/repetitive
+    * document is DERIVED from `documents` by doc_id arithmetic — every
+    * 3rd doc duplicates its first line twice, every 4th doc appends a
+    * run of one repeated bigram — then scored with
+    * [[TextAnalysis.dupLineFraction]] (raw-line distinct arithmetic) and
+    * [[TextAnalysis.topNgramFraction]] (native one-pass
+    * [[graft.functions.NgramModeFraction]]). DuckDB replays the
+    * construction, the line histogram, and the bigram mode fraction via
+    * an UNNEST histogram. `keep` applies Gopher-ish thresholds. */
+  def q51Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    def line(from: Int) = concat_ws(" ", slice(toks, lit(from), lit(8)))
+    val l1 = line(1); val l2 = line(9); val l3 = line(17)
+    val spam = concat_ws(" ",
+      transform(sequence(lit(1), pmod(col("doc_id"), lit(5)) + 3),
+        _ => concat(lit("spam ham"))))
+    val lined =
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat_ws("\n", l1, l2, l1, l3, l1))
+        .otherwise(concat_ws("\n", l1, l2, l3))
+    val etext =
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(lined, lit("\n"), spam))
+        .otherwise(lined)
+    Dedup.spread(t(s, dir, "documents"))
+      .withColumn("etext", etext)
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.dupLineFraction(col("etext")), 6).as("dup_line_frac"),
+        round(TextAnalysis.topNgramFraction(col("etext"), 2), 6).as("top_bigram_frac"),
+        (TextAnalysis.dupLineFraction(col("etext")) < 0.3 &&
+          TextAnalysis.topNgramFraction(col("etext"), 2) < 0.2)
+          .cast("long").as("keep"))
+  }
+
+  val q51Sql: String = {
+    val norm = "LOWER(REGEXP_REPLACE(TRIM(etext),'\\s+',' ','g'))"
+    s"""WITH b AS (
+       | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | parts AS (
+       | SELECT doc_id,
+       |  -- COALESCE: DuckDB array_to_string of an EMPTY slice is NULL,
+       |  -- Spark concat_ws of an empty array is '' — short docs must
+       |  -- agree
+       |  COALESCE(array_to_string(toks[1:8], ' '), '') AS l1,
+       |  COALESCE(array_to_string(toks[9:16], ' '), '') AS l2,
+       |  COALESCE(array_to_string(toks[17:24], ' '), '') AS l3,
+       |  COALESCE(array_to_string(list_transform(range(1, CAST(doc_id % 5 + 4 AS BIGINT)),
+       |    i -> 'spam ham'), ' '), '') AS spam
+       | FROM b),
+       | e AS (
+       | SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN l1 || chr(10) || l2 || chr(10) || l1
+       |         || chr(10) || l3 || chr(10) || l1
+       |       ELSE l1 || chr(10) || l2 || chr(10) || l3 END
+       |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || spam ELSE '' END AS etext
+       | FROM parts),
+       | lines AS (
+       | SELECT doc_id,
+       |  CAST(LEN(string_split(etext, chr(10)))
+       |    - LEN(list_distinct(string_split(etext, chr(10)))) AS DOUBLE)
+       |    / LEN(string_split(etext, chr(10))) AS dup_line_frac
+       | FROM e),
+       | sh AS (
+       | SELECT doc_id,
+       |  CASE WHEN LEN(string_split($norm, ' ')) < 2 THEN [$norm]
+       |       ELSE list_transform(range(0, LEN(string_split($norm, ' ')) - 1),
+       |         i -> array_to_string(string_split($norm, ' ')[i+1:i+2], ' '))
+       |  END AS grams
+       | FROM e),
+       | g AS (SELECT doc_id, UNNEST(grams) AS gr FROM sh),
+       | c AS (SELECT doc_id, gr, COUNT(*) AS cnt FROM g GROUP BY doc_id, gr),
+       | m AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS tf
+       |       FROM c GROUP BY doc_id)
+       |SELECT l.doc_id, ROUND(l.dup_line_frac, 6) AS dup_line_frac,
+       | ROUND(m.tf, 6) AS top_bigram_frac,
+       | CAST(l.dup_line_frac < 0.3 AND m.tf < 0.2 AS BIGINT) AS keep
+       |FROM lines l JOIN m ON l.doc_id = m.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1400,7 +1480,8 @@ object QueriesExtra {
     "q47_multiview_service" -> (q47MultiViewService _),
     "q48_ivf_index_query" -> (q48IvfIndexQuery _),
     "q49_streaming_neardup" -> (q49StreamingNeardup _),
-    "q50_pii_redact" -> (q50PiiRedact _))
+    "q50_pii_redact" -> (q50PiiRedact _),
+    "q51_repetition" -> (q51Repetition _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1437,5 +1518,6 @@ object QueriesExtra {
     "q47_multiview_service" -> q47Sql,
     "q48_ivf_index_query" -> q48Sql,
     "q49_streaming_neardup" -> q49Sql,
-    "q50_pii_redact" -> q50Sql)
+    "q50_pii_redact" -> q50Sql,
+    "q51_repetition" -> q51Sql)
 }

@@ -44,6 +44,22 @@ object TextAnalysis {
       length(regexp_replace(text, "\\s", "")).cast("double") / nToks)
   }
 
+  /** Gopher-style repetition signal: fraction of raw '\n'-separated
+    * lines that are duplicates of another line (1 − distinct/total).
+    * Pure array arithmetic, no per-line lambda. Single-line (or empty)
+    * text scores 0. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    (size(lines) - size(array_distinct(lines))).cast("double") / size(lines)
+  }
+
+  /** Gopher-style repetition signal: fraction of all word n-gram
+    * occurrences taken by the most frequent n-gram (native one-pass
+    * [[graft.functions.NgramModeFraction]]; heavily repetitive docs
+    * score near 1). */
+  def topNgramFraction(text: Column, n: Int = 2): Column =
+    graft.functions.NgramModeFraction(text, n)
+
   /** Stopword hit ratio against a wordlist (default: English) — one
     * native byte pass per side ([[WhitespaceTokenCount]] denominator,
     * [[TokenInSetCount]] numerator), no interpreted HOF lambdas. */
