@@ -42,6 +42,15 @@ object PretrainPipeline {
     case object Components extends Canonicalize
   }
 
+  /** @param maxDupLineFrac  optional Gopher repetition gate: drop docs
+    *                         whose duplicate-raw-line fraction exceeds
+    *                         this ([[graft.text.TextAnalysis.dupLineFraction]])
+    * @param maxTopNgramFrac optional Gopher repetition gate: drop docs
+    *                         whose top-bigram occupancy exceeds this
+    *                         (native [[graft.functions.NgramModeFraction]]).
+    *                         Both ride the same scan as the language and
+    *                         quality filters — enabling them adds zero
+    *                         passes and zero shuffles. */
   case class Config(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.75,
@@ -50,7 +59,9 @@ object PretrainPipeline {
       bands: Int = 16,
       shingleWidth: Int = 3,
       maxBucket: Int = 128,
-      canonicalize: Canonicalize = Canonicalize.PairDrop)
+      canonicalize: Canonicalize = Canonicalize.PairDrop,
+      maxDupLineFrac: Option[Double] = None,
+      maxTopNgramFrac: Option[Double] = None)
 
   /** @param stageDir when set, the exact-dedup result is materialized
     *                  there once and downstream stages read the files —
@@ -128,11 +139,17 @@ object PretrainPipeline {
         graft.dedup.ConnectedComponents.dropSet(pairs)
           .select(col("id").as(idCol))
     }
+    val repetitionGate = Seq(
+      cfg.maxDupLineFrac.map(t =>
+        TextAnalysis.dupLineFraction(col(textCol)) <= t),
+      cfg.maxTopNgramFrac.map(t =>
+        TextAnalysis.topNgramFraction(col(textCol), 2) <= t))
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
     val out = exact.join(drops, Seq(idCol), "left_anti")
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&
-        col("quality") >= cfg.minQuality)
+        col("quality") >= cfg.minQuality && repetitionGate)
     (out, stageReused)
   }
 

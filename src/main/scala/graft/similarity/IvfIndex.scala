@@ -69,6 +69,33 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$indexDir/corpus")
   }
 
+  /** Incrementally add vectors to a built index: assign against the
+    * PERSISTED centroid table (no Lloyd — the centroids ARE the index
+    * identity, so appended vectors are probed exactly like build-time
+    * ones) and append into the centroid-partitioned corpus with the
+    * same (cell, salt) write clustering. The standard IVF maintenance
+    * contract applies: cell balance degrades as the appended
+    * distribution drifts from the build distribution — rebuild when the
+    * probed-fraction economics stop holding. */
+  def append(
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      filesPerCell: Int = 4): Unit = {
+    val (cids, cvecs) = loadCentroids(newVectors.sparkSession, indexDir)
+    Dedup.spread(newVectors)
+      .select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        element_at(
+          graft.functions.NearestCentroids(col(vecCol), cids, cvecs, k = 1), 1)
+          .cast("int").as("centroid_id"))
+      .repartition(col("centroid_id"),
+        pmod(xxhash64(col("id")), lit(filesPerCell)))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$indexDir/corpus")
+  }
+
   /** Load the persisted centroid table (bounded by nCentroids rows). */
   private def loadCentroids(
       spark: SparkSession, indexDir: String): (Seq[Long], Seq[Seq[Float]]) = {

@@ -34,6 +34,31 @@ class PretrainPipelineSpec extends SparkTestBase {
     assert(out.forall(_._3 >= 0.75))
   }
 
+  test("repetition gates: repetitive docs dropped only when enabled") {
+    val good =
+      "the data table is a good row of value and the scan is in the plan " +
+        "for this query to be a fast one with the right value"
+    // heavy bigram repetition + duplicate lines; stopword-rich so the
+    // language/quality gates pass and only the repetition gate decides;
+    // the duplicated LINE must not be `good` or the near-dup LSH stage
+    // would drop doc 3 as a near-duplicate of doc 1 before the gate runs
+    val spam = ("the spam is the spam is " * 12).trim
+    val line =
+      "a value of the row is in the table and the scan is of the plan now"
+    val dupLines = s"$line\n$line\n$line"
+    val docs = Seq((1L, good), (2L, spam), (3L, dupLines)).toDF("doc_id", "text")
+
+    val off = PretrainPipeline.clean(docs, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(off === Seq(1L, 2L, 3L), "gates disabled: repetition must pass")
+
+    val on = PretrainPipeline.clean(docs, "text", "doc_id",
+      cfg = PretrainPipeline.Config(
+        maxDupLineFrac = Some(0.3), maxTopNgramFrac = Some(0.2)))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(on === Seq(1L), "both repetition classes must be dropped")
+  }
+
   test("staged clean (stageDir) equals the unstaged plan") {
     val docs = Seq(
       (1L, "the value of a table row is in the scan and the plan is for " +

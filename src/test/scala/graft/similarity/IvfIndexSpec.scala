@@ -55,6 +55,29 @@ class IvfIndexSpec extends SparkTestBase {
     assert(r1.size === 50)
   }
 
+  test("append: new vectors are probed exactly like build-time ones") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    IvfIndex.build(emb, "vec_id", "embedding", d, nCentroids = 16, dim = 64)
+    val before = rows(IvfIndex.query(
+      spark, d, queries, "vec_id", "embedding", k = 5, nProbe = 4))
+    assert(!before.exists(_._2 >= 200000L))
+
+    // append exact copies of the query vectors under new ids
+    IvfIndex.append(
+      emb.filter($"vec_id" < 10)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", d)
+    val after = rows(IvfIndex.query(
+      spark, d, queries, "vec_id", "embedding", k = 5, nProbe = 4))
+    // an appended identical copy shares the query's cell deterministically
+    // (same centroid table), so it is always probed: cosine 1.0 at rank 2
+    assert((0L until 10L).forall(q => after.contains((q, q + 200000L, 2))))
+    // pre-existing neighbors keep their relative order below the copy
+    assert((0L until 10L).forall(q => after.contains((q, q, 1))))
+  }
+
   test("query plan: no Lloyd aggregation, corpus partition-pruned to probed cells") {
     val df = IvfIndex.query(
       spark, indexDir, queries, "vec_id", "embedding", k = 5, nProbe = 4)
