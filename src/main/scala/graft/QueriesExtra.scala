@@ -1445,6 +1445,68 @@ object QueriesExtra {
        |FROM lines l JOIN m ON l.doc_id = m.doc_id""".stripMargin
   }
 
+  // ----------------------------------- streaming session windows
+  /** Streaming gap-sessionization in the driver gate (S7, second op
+    * class after q49's stateful dedup): a bounded transcript-shaped
+    * slice of `events` streams through [[graft.streaming
+    * .StreamingFeatures.sessionAggregates]] (built-in `session_window`,
+    * watermarked, complete mode) in TWO micro-batches split mid-stream —
+    * sessions opened in batch 1 must merge/extend with batch-2 events.
+    * Session aggregation is a deterministic function of the data (no
+    * first-arrival semantics), so unlike q49 no ordering hazard exists;
+    * the boundary exercises cross-batch session-state merging. The
+    * oracle replays `session_window` semantics exactly: a NEW session
+    * starts when the gap is ≥ 1800 s (the built-in splits when event
+    * windows no longer overlap — note q08's hand-rolled batch
+    * sessionizer uses strict >; both are gated, each against its own
+    * contract). (user_id, ts) is unique so the LAG ordering is total. */
+  def q52StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id").cast("string").as("conv_id"), col("ts"),
+        col("props").as("text"),
+        when(col("event_type") === "click", "browser").otherwise("").as("tool"))
+      .as[(String, java.sql.Timestamp, String, String)]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, String, String)](s)
+    val out = graft.streaming.StreamingFeatures.sessionAggregates(
+      input.toDF().toDF("conv_id", "ts", "text", "tool"), gapSeconds = 1800L)
+    val table = s"q52_sessions_${ProcessHandle.current().pid()}"
+    val q = out.writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(table).select(
+      col("conv_id"), col("session_start"), col("turns"),
+      col("tokens"), col("tool_turns"))
+  }
+
+  val q52Sql: String =
+    """WITH tr AS (
+      | SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, props AS text,
+      |  CASE WHEN event_type = 'click' THEN 'browser' ELSE '' END AS tool
+      | FROM events WHERE user_id < 10),
+      | g AS (
+      | SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |       THEN 1 ELSE 0 END AS is_new
+      | FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+      | sid AS (
+      | SELECT *, SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      | FROM g)
+      |SELECT conv_id, MIN(ts) AS session_start,
+      | CAST(COUNT(*) AS BIGINT) AS turns,
+      | CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens,
+      | CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns
+      |FROM sid GROUP BY conv_id, sess""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1481,7 +1543,8 @@ object QueriesExtra {
     "q48_ivf_index_query" -> (q48IvfIndexQuery _),
     "q49_streaming_neardup" -> (q49StreamingNeardup _),
     "q50_pii_redact" -> (q50PiiRedact _),
-    "q51_repetition" -> (q51Repetition _))
+    "q51_repetition" -> (q51Repetition _),
+    "q52_streaming_sessions" -> (q52StreamingSessions _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1519,5 +1582,6 @@ object QueriesExtra {
     "q48_ivf_index_query" -> q48Sql,
     "q49_streaming_neardup" -> q49Sql,
     "q50_pii_redact" -> q50Sql,
-    "q51_repetition" -> q51Sql)
+    "q51_repetition" -> q51Sql,
+    "q52_streaming_sessions" -> q52Sql)
 }
