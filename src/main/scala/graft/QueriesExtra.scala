@@ -1507,6 +1507,65 @@ object QueriesExtra {
       | CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns
       |FROM sid GROUP BY conv_id, sess""".stripMargin
 
+  // -------------------------------------- benchmark decontamination
+  /** Train-set decontamination ([[Dedup.benchmarkOverlap]]): docs 0-49
+    * act as the "benchmark/eval" corpus; the training corpus is every
+    * document plus drop-2-word paraphrases of the benchmark slice
+    * (id+100000 — contaminated near-copies that exact dedup would NOT
+    * catch). Per-doc distinct-shingle overlap with the benchmark gram
+    * set is computed via the broadcast-join shape (corpus never
+    * shuffled) and thresholded; DuckDB replays with list_intersect
+    * against the aggregated benchmark gram list. */
+  def q53Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = base.filter(col("doc_id") < 50)
+    val toks = split(col("text"), " ", -1)
+    val paraphrased = bench.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 2, lit(1))))
+        .as("text"))
+    val corpus = base.unionByName(paraphrased)
+    val overlap = Dedup.benchmarkOverlap(corpus, bench, "text", "doc_id")
+    corpus.join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
+        (coalesce(col("overlap_grams"), lit(0L)) > 15L).cast("long")
+          .as("contaminated"))
+  }
+
+  val q53Sql: String = {
+    val norm = "LOWER(REGEXP_REPLACE(TRIM(text),'\\s+',' ','g'))"
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       | para AS (
+       |  SELECT doc_id + 100000 AS doc_id,
+       |   array_to_string(string_split(text, ' ')[1:GREATEST(LEN(string_split(text,' '))-2, 1)], ' ') AS text
+       |  FROM base WHERE doc_id < 50),
+       | corpus AS (SELECT * FROM base UNION ALL SELECT * FROM para),
+       | sh AS (
+       |  SELECT doc_id,
+       |   CASE WHEN LEN(string_split($norm, ' ')) < 3
+       |        THEN [$norm]
+       |        ELSE list_distinct(list_transform(
+       |          range(0, LEN(string_split($norm, ' ')) - 2),
+       |          i -> array_to_string(string_split($norm, ' ')[i+1:i+3], ' ')))
+       |   END AS grams
+       |  FROM corpus),
+       | bg AS (
+       |  SELECT LIST(DISTINCT g) AS bl FROM (
+       |   SELECT UNNEST(grams) AS g FROM sh WHERE doc_id < 50)),
+       | ov AS (
+       |  -- cross join the one-row gram list in (a scalar subquery inside
+       |  -- list_intersect trips DuckDB's lambda rewrite)
+       |  SELECT sh.doc_id,
+       |   CAST(LEN(list_intersect(sh.grams, bg.bl)) AS BIGINT)
+       |     AS overlap_grams
+       |  FROM sh, bg)
+       |SELECT doc_id, overlap_grams,
+       | CAST(overlap_grams > 15 AS BIGINT) AS contaminated
+       |FROM ov""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1544,7 +1603,8 @@ object QueriesExtra {
     "q49_streaming_neardup" -> (q49StreamingNeardup _),
     "q50_pii_redact" -> (q50PiiRedact _),
     "q51_repetition" -> (q51Repetition _),
-    "q52_streaming_sessions" -> (q52StreamingSessions _))
+    "q52_streaming_sessions" -> (q52StreamingSessions _),
+    "q53_decontaminate" -> (q53Decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1583,5 +1643,6 @@ object QueriesExtra {
     "q49_streaming_neardup" -> q49Sql,
     "q50_pii_redact" -> q50Sql,
     "q51_repetition" -> q51Sql,
-    "q52_streaming_sessions" -> q52Sql)
+    "q52_streaming_sessions" -> q52Sql,
+    "q53_decontaminate" -> q53Sql)
 }

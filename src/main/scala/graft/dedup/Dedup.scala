@@ -287,6 +287,51 @@ object Dedup {
         threshold, maxBucket))
       .select(col("id").as(idCol), col("component").as("canonical"))
 
+  /** Benchmark decontamination support: per-document count of DISTINCT
+    * w-word shingles shared with a benchmark/eval corpus — the overlap
+    * statistic train-set decontamination thresholds on (the GPT-3 /
+    * Pile-style n-gram contamination check).
+    *
+    * Scale shape: the benchmark gram set is eval-corpus-sized (small) —
+    * distinct'd once and BROADCAST; the training corpus explodes its
+    * shingles and inner-joins the broadcast set, so the corpus is never
+    * shuffled and the per-doc count is a map-side-combinable aggregate.
+    * Docs sharing nothing with the benchmark don't appear (join
+    * semantics); callers needing zeros left-join back (q53 does).
+    */
+  def benchmarkOverlap(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWidth: Int = 3): DataFrame = {
+    val bg = bench
+      .select(explode(shingles(col(textCol), shingleWidth)).as("_g"))
+      .distinct()
+    spread(docs)
+      .select(col(idCol).as("_id"),
+        explode(shingles(col(textCol), shingleWidth)).as("_g"))
+      .join(broadcast(bg), Seq("_g"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("overlap_grams"))
+      .select(col("_id").as(idCol), col("overlap_grams"))
+  }
+
+  /** Drop training documents whose shingle overlap with the benchmark
+    * corpus exceeds `maxOverlap` grams (decontamination filter). */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxOverlap: Long,
+      shingleWidth: Int = 3): DataFrame = {
+    val hot = benchmarkOverlap(docs, bench, textCol, idCol, shingleWidth)
+      .filter(col("overlap_grams") > maxOverlap)
+      .select(col(idCol))
+    docs.join(hot, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard >= threshold (the oracle path; O(N²)
     * within a length bucket — use only at test scale or as the verifier
     * for sampled audits). */

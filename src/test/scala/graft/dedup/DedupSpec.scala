@@ -86,6 +86,35 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("decontamination: overlap counts, filter, and broadcast plan shape") {
+    val benchDoc = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val clean = "completely unrelated words about spark catalyst plans and shuffles at scale"
+    val docs = Seq(
+      (1L, benchDoc),                                          // verbatim contamination
+      (2L, benchDoc.split(" ").dropRight(2).mkString(" ")),    // paraphrase
+      (3L, clean)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchDoc)).toDF("doc_id", "text")
+
+    val ov = Dedup.benchmarkOverlap(docs, bench, "text", "doc_id")
+    val got = ov.as[(Long, Long)].collect().toMap
+    val benchGrams = 13L // 15 tokens → 13 trigrams, all distinct
+    assert(got(1L) === benchGrams)
+    assert(got(2L) === benchGrams - 2)
+    assert(!got.contains(3L), "clean doc shares nothing and must not appear")
+
+    val kept = Dedup.decontaminate(docs, bench, "text", "doc_id", maxOverlap = 5L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+
+    // scale shape: benchmark gram set broadcasts; the corpus side must
+    // not sort-merge against it
+    ov.collect()
+    val p = ov.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled against benchmark:\n$p")
+  }
+
   test("embedding near-dup: identical and near-identical vectors found, orthogonal not") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
