@@ -1339,9 +1339,12 @@ object QueriesExtra {
   }
 
   val q50Sql: String = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    // the ORACLE verifies the SHIPPED rules: patterns and placeholders
+    // come from Redact's Rule constants, so an edit there cannot drift
+    // away from what this gate checks
+    val email = graft.text.Redact.Email.pattern
+    val phone = graft.text.Redact.Phone.pattern
+    val ipv4 = graft.text.Redact.Ipv4.pattern
     s"""WITH e AS (
        | SELECT doc_id,
        |  CASE WHEN doc_id % 3 = 0 THEN text
@@ -1356,9 +1359,9 @@ object QueriesExtra {
        | FROM documents)
        |SELECT doc_id,
        | regexp_replace(regexp_replace(regexp_replace(etext,
-       |   '$email', '<EMAIL>', 'g'),
-       |   '$phone', '<PHONE>', 'g'),
-       |   '$ipv4', '<IP>', 'g') AS clean_text,
+       |   '$email', '${graft.text.Redact.Email.placeholder}', 'g'),
+       |   '$phone', '${graft.text.Redact.Phone.placeholder}', 'g'),
+       |   '$ipv4', '${graft.text.Redact.Ipv4.placeholder}', 'g') AS clean_text,
        | CAST(LEN(regexp_extract_all(etext, '$email'))
        |  + LEN(regexp_extract_all(etext, '$phone'))
        |  + LEN(regexp_extract_all(etext, '$ipv4')) AS BIGINT) AS n_redactions
@@ -1380,8 +1383,7 @@ object QueriesExtra {
     def line(from: Int) = concat_ws(" ", slice(toks, lit(from), lit(8)))
     val l1 = line(1); val l2 = line(9); val l3 = line(17)
     val spam = concat_ws(" ",
-      transform(sequence(lit(1), pmod(col("doc_id"), lit(5)) + 3),
-        _ => concat(lit("spam ham"))))
+      array_repeat(lit("spam ham"), (pmod(col("doc_id"), lit(5)) + 3).cast("int")))
     val lined =
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat_ws("\n", l1, l2, l1, l3, l1))
@@ -1526,12 +1528,20 @@ object QueriesExtra {
         .as("text"))
     val corpus = base.unionByName(paraphrased)
     val overlap = Dedup.benchmarkOverlap(corpus, bench, "text", "doc_id")
+    // the FILTER form runs too (left_anti over the same overlap stat),
+    // so both public decontamination entry points are driver-gated:
+    // kept must equal NOT contaminated row-for-row
+    val keptIds = Dedup.decontaminate(corpus, bench, "text", "doc_id",
+        maxOverlap = 15L)
+      .select(col("doc_id"), lit(1L).as("_kept"))
     corpus.join(overlap, Seq("doc_id"), "left")
+      .join(keptIds, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
         (coalesce(col("overlap_grams"), lit(0L)) > 15L).cast("long")
-          .as("contaminated"))
+          .as("contaminated"),
+        coalesce(col("_kept"), lit(0L)).as("kept"))
   }
 
   val q53Sql: String = {
@@ -1562,7 +1572,8 @@ object QueriesExtra {
        |     AS overlap_grams
        |  FROM sh, bg)
        |SELECT doc_id, overlap_grams,
-       | CAST(overlap_grams > 15 AS BIGINT) AS contaminated
+       | CAST(overlap_grams > 15 AS BIGINT) AS contaminated,
+       | CAST(overlap_grams <= 15 AS BIGINT) AS kept
        |FROM ov""".stripMargin
   }
 

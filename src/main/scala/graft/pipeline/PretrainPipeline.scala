@@ -50,7 +50,17 @@ object PretrainPipeline {
     *                         (native [[graft.functions.NgramModeFraction]]).
     *                         Both ride the same scan as the language and
     *                         quality filters — enabling them adds zero
-    *                         passes and zero shuffles. */
+    *                         passes and zero shuffles.
+    * @param minRepetitionTokens length floor below which the
+    *                         top-n-gram gate does NOT apply: the mode
+    *                         fraction is length-confounded (a clean
+    *                         4-token doc scores 1/3; under 6 tokens it
+    *                         can never beat 0.2), so without the floor
+    *                         the gate silently wipes out short clean
+    *                         docs — Gopher applies its repetition
+    *                         thresholds above a length floor for the
+    *                         same reason. The dup-line gate is not
+    *                         length-confounded and always applies. */
   case class Config(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.75,
@@ -61,7 +71,8 @@ object PretrainPipeline {
       maxBucket: Int = 128,
       canonicalize: Canonicalize = Canonicalize.PairDrop,
       maxDupLineFrac: Option[Double] = None,
-      maxTopNgramFrac: Option[Double] = None)
+      maxTopNgramFrac: Option[Double] = None,
+      minRepetitionTokens: Int = 20)
 
   /** @param stageDir when set, the exact-dedup result is materialized
     *                  there once and downstream stages read the files —
@@ -143,7 +154,9 @@ object PretrainPipeline {
       cfg.maxDupLineFrac.map(t =>
         TextAnalysis.dupLineFraction(col(textCol)) <= t),
       cfg.maxTopNgramFrac.map(t =>
-        TextAnalysis.topNgramFraction(col(textCol), 2) <= t))
+        graft.functions.WhitespaceTokenCount(col(textCol))
+          < cfg.minRepetitionTokens ||
+          TextAnalysis.topNgramFraction(col(textCol), 2) <= t))
       .flatten.reduceOption(_ && _).getOrElse(lit(true))
     val out = exact.join(drops, Seq(idCol), "left_anti")
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))

@@ -47,26 +47,41 @@ object IvfIndex {
     ctrs.select(col("centroid_id"), col("_ctr").as("centroid"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val (cids, cvecs) = loadCentroids(corpus.sparkSession, indexDir)
-    Dedup.spread(corpus)
+    assignAndWrite(corpus, idCol, vecCol, indexDir, filesPerCell,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Shared assign + clustered partitioned write for [[build]] and
+    * [[append]] (they must lay the corpus out identically — only the
+    * save mode differs).
+    *
+    * Clustering by (cell, salt) before the partitioned write: without
+    * any clustering every write task emits a file into every
+    * `centroid_id=` dir (tasks × cells small files — at 1000 executors
+    * × nCentroids cells the classic small-file explosion), while
+    * clustering on the cell alone would collapse the write to
+    * ≤ nCentroids reducers and make one hot cell a straggler. The salt
+    * bounds files per dir at ~filesPerCell AND keeps up to
+    * nCentroids × filesPerCell writers busy; assignment itself still
+    * runs at full scan parallelism. */
+  private def assignAndWrite(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      filesPerCell: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val (cids, cvecs) = loadCentroids(vectors.sparkSession, indexDir)
+    Dedup.spread(vectors)
       .select(
         col(idCol).as("id"),
         col(vecCol).as("vec"),
         element_at(
           graft.functions.NearestCentroids(col(vecCol), cids, cvecs, k = 1), 1)
           .cast("int").as("centroid_id"))
-      // cluster by (cell, salt) before the partitioned write: without
-      // any clustering every write task emits a file into every
-      // `centroid_id=` dir (tasks × cells small files — at 1000
-      // executors × nCentroids cells the classic small-file explosion),
-      // while clustering on the cell alone would collapse the write to
-      // ≤ nCentroids reducers and make one hot cell a straggler. The
-      // salt bounds files per dir at ~filesPerCell AND keeps up to
-      // nCentroids × filesPerCell writers busy; assignment itself still
-      // runs at full scan parallelism above.
       .repartition(col("centroid_id"),
         pmod(xxhash64(col("id")), lit(filesPerCell)))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$indexDir/corpus")
+      .write.mode(mode).partitionBy("centroid_id").parquet(s"$indexDir/corpus")
   }
 
   /** Incrementally add vectors to a built index: assign against the
@@ -76,25 +91,21 @@ object IvfIndex {
     * same (cell, salt) write clustering. The standard IVF maintenance
     * contract applies: cell balance degrades as the appended
     * distribution drifts from the build distribution — rebuild when the
-    * probed-fraction economics stop holding. */
+    * probed-fraction economics stop holding.
+    *
+    * Gate coverage note (CLAUDE.md convention): spec-gated
+    * (IvfIndexSpec "append" test) rather than driver-oracled — the
+    * write path is byte-identical to [[build]]'s (shared
+    * [[assignAndWrite]], only the save mode differs) and build's layout
+    * + query semantics are driver-gated by q48. */
   def append(
       newVectors: DataFrame,
       idCol: String,
       vecCol: String,
       indexDir: String,
-      filesPerCell: Int = 4): Unit = {
-    val (cids, cvecs) = loadCentroids(newVectors.sparkSession, indexDir)
-    Dedup.spread(newVectors)
-      .select(
-        col(idCol).as("id"),
-        col(vecCol).as("vec"),
-        element_at(
-          graft.functions.NearestCentroids(col(vecCol), cids, cvecs, k = 1), 1)
-          .cast("int").as("centroid_id"))
-      .repartition(col("centroid_id"),
-        pmod(xxhash64(col("id")), lit(filesPerCell)))
-      .write.mode("append").partitionBy("centroid_id").parquet(s"$indexDir/corpus")
-  }
+      filesPerCell: Int = 4): Unit =
+    assignAndWrite(newVectors, idCol, vecCol, indexDir, filesPerCell,
+      org.apache.spark.sql.SaveMode.Append)
 
   /** Load the persisted centroid table (bounded by nCentroids rows). */
   private def loadCentroids(

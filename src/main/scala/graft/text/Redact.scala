@@ -49,7 +49,7 @@ object Redact {
     * replaces can). */
   def redactionCount(text: Column, rules: Seq[Rule] = DefaultRules): Column =
     rules.map(r => regexp_count(text, lit(r.pattern)))
-      .reduce(_ + _).cast("long")
+      .reduceOption(_ + _).getOrElse(lit(0)).cast("long")
 
   /** Per-rule counts as (name → count) columns for audit outputs. */
   def redactionCounts(text: Column, rules: Seq[Rule] = DefaultRules): Seq[(String, Column)] =

@@ -39,14 +39,19 @@ class NgramModeFractionSpec extends SparkTestBase {
         .map(_ => s"w${rng.nextInt(6)}").mkString(" ")
     }
     def naive(s: String, n: Int): Double = {
-      val toks = s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      // UTF8String.trim strips SPACES only (not \t/\n) — the naive model
+      // must mirror that or it is blind to trim-convention regressions
+      val spaceTrimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = spaceTrimmed.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
       if (toks.length < n) 1.0
       else {
         val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
         grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size
       }
     }
-    docs.foreach { d =>
+    // leading tab: survives the space-only trim, collapses to a leading
+    // space, and yields a leading empty token — by convention
+    (docs :+ "\tfoo bar foo bar" :+ " \t mixed  ws\ttokens ").foreach { d =>
       assert(math.abs(frac(d, 2) - naive(d, 2)) < 1e-12, s"doc: $d")
       assert(math.abs(frac(d, 3) - naive(d, 3)) < 1e-12, s"doc: $d")
     }

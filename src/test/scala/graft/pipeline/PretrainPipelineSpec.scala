@@ -46,17 +46,22 @@ class PretrainPipelineSpec extends SparkTestBase {
     val line =
       "a value of the row is in the table and the scan is of the plan now"
     val dupLines = s"$line\n$line\n$line"
-    val docs = Seq((1L, good), (2L, spam), (3L, dupLines)).toDF("doc_id", "text")
+    // 5 clean tokens: mode fraction is 1/4 = 0.25 > 0.2 purely from
+    // brevity — the minRepetitionTokens floor must exempt it
+    val shortClean = "the cat is a mat"
+    val docs = Seq((1L, good), (2L, spam), (3L, dupLines), (4L, shortClean))
+      .toDF("doc_id", "text")
 
     val off = PretrainPipeline.clean(docs, "text", "doc_id")
       .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(off === Seq(1L, 2L, 3L), "gates disabled: repetition must pass")
+    assert(off === Seq(1L, 2L, 3L, 4L), "gates disabled: repetition must pass")
 
     val on = PretrainPipeline.clean(docs, "text", "doc_id",
       cfg = PretrainPipeline.Config(
         maxDupLineFrac = Some(0.3), maxTopNgramFrac = Some(0.2)))
       .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(on === Seq(1L), "both repetition classes must be dropped")
+    assert(on === Seq(1L, 4L),
+      "both repetition classes dropped; short clean doc exempt via the length floor")
   }
 
   test("staged clean (stageDir) equals the unstaged plan") {
