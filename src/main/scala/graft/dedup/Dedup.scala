@@ -298,20 +298,34 @@ object Dedup {
     * shuffled and the per-doc count is a map-side-combinable aggregate.
     * Docs sharing nothing with the benchmark don't appear (join
     * semantics); callers needing zeros left-join back (q53 does).
+    *
+    * Broadcast guard (r4 VERDICT #3): "eval-corpus-sized" is a contract
+    * a caller can break by pointing `bench` at a corpus slice, and the
+    * failure would be an opaque 8 GB-broadcast abort mid-stage. The
+    * distinct gram count is therefore measured FIRST (one agg-only scan
+    * of the bench corpus — cheap by the same smallness assumption, and
+    * the scan is paid anyway to build the broadcast); above
+    * `maxBroadcastGrams` the join degrades to a plain shuffle join on
+    * the gram key (corpus exploded + hash-shuffled — slower but
+    * unbounded-safe) instead of failing.
     */
   def benchmarkOverlap(
       docs: DataFrame,
       bench: DataFrame,
       textCol: String,
       idCol: String,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3,
+      maxBroadcastGrams: Long = 20000000L): DataFrame = {
     val bg = bench
       .select(explode(shingles(col(textCol), shingleWidth)).as("_g"))
       .distinct()
+    // ~100 B/gram in a broadcast hash relation → the 20M default is ~2 GB,
+    // well under Spark's 8 GB broadcast ceiling
+    val bgSide = if (bg.count() <= maxBroadcastGrams) broadcast(bg) else bg
     spread(docs)
       .select(col(idCol).as("_id"),
         explode(shingles(col(textCol), shingleWidth)).as("_g"))
-      .join(broadcast(bg), Seq("_g"))
+      .join(bgSide, Seq("_g"))
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("overlap_grams"))
       .select(col("_id").as(idCol), col("overlap_grams"))
@@ -325,8 +339,10 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxOverlap: Long,
-      shingleWidth: Int = 3): DataFrame = {
-    val hot = benchmarkOverlap(docs, bench, textCol, idCol, shingleWidth)
+      shingleWidth: Int = 3,
+      maxBroadcastGrams: Long = 20000000L): DataFrame = {
+    val hot = benchmarkOverlap(docs, bench, textCol, idCol, shingleWidth,
+        maxBroadcastGrams)
       .filter(col("overlap_grams") > maxOverlap)
       .select(col(idCol))
     docs.join(hot, Seq(idCol), "left_anti")

@@ -46,7 +46,16 @@ object Redact {
 
   /** Total redaction count over the RAW text (count before scrubbing —
     * rule order cannot eat a later rule's matches the way chained
-    * replaces can). */
+    * replaces can).
+    *
+    * This is a raw-text MATCH count, which on adjacency edge cases can
+    * differ from the number of substitutions [[scrub]] actually performs:
+    * in `a@b.com555-123-4567` the email match consumes the digits up to
+    * the phone's word boundary on raw text (no phone match counted), but
+    * after the email is replaced the inserted `<EMAIL>` creates a word
+    * boundary and scrub masks the phone too. An audit-metric quirk, not a
+    * correctness bug — both sides of the q50 oracle use the same raw-text
+    * semantics. */
   def redactionCount(text: Column, rules: Seq[Rule] = DefaultRules): Column =
     rules.map(r => regexp_count(text, lit(r.pattern)))
       .reduceOption(_ + _).getOrElse(lit(0)).cast("long")

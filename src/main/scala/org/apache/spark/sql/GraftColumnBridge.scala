@@ -67,11 +67,23 @@ object GraftColumnBridge {
     * rounds eagerly — the GC-driven ContextCleaner is too lazy for a
     * long-lived session running many labelings. Safe ONLY for datasets
     * whose data is no longer needed: a localCheckpoint cannot be
-    * recomputed once its blocks are gone. */
-  def unpersistCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-      case _ =>
+    * recomputed once its blocks are gone.
+    *
+    * The argument must be a directly-localCheckpointed Dataset or a pure
+    * projection of one — a plan with a SINGLE LogicalRDD leaf. The
+    * requirement is ENFORCED (not just documented): a derived plan (e.g.
+    * a join with another still-live checkpoint) would otherwise silently
+    * free every reachable checkpoint, including ones the caller still
+    * needs (r4 ADVICE #2). */
+  def unpersistCheckpoint(df: Dataset[_]): Unit = {
+    val leaves = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
     }
+    require(leaves.size == 1,
+      s"unpersistCheckpoint expects a plan with exactly one LogicalRDD " +
+        s"leaf (a localCheckpointed Dataset or a pure projection of one); " +
+        s"got ${leaves.size} — freeing all of them could destroy " +
+        "checkpoints other datasets still depend on")
+    leaves.head.rdd.unpersist(blocking = false)
+  }
 }

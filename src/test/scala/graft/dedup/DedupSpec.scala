@@ -115,6 +115,35 @@ class DedupSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled against benchmark:\n$p")
   }
 
+  test("decontamination over-cap gram set falls back to a shuffle join, same result") {
+    val benchDoc = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val clean = "completely unrelated words about spark catalyst plans and shuffles at scale"
+    val docs = Seq(
+      (1L, benchDoc),
+      (2L, benchDoc.split(" ").dropRight(2).mkString(" ")),
+      (3L, clean)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchDoc)).toDF("doc_id", "text")
+
+    // cap of 1 gram forces the unbounded-safe path
+    val ov = Dedup.benchmarkOverlap(docs, bench, "text", "doc_id",
+      maxBroadcastGrams = 1L)
+    val got = ov.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 13L, 2L -> 11L), "fallback changed the counts")
+
+    // the gram join must NOT use the explicit broadcast hint (AQE may
+    // still pick a broadcast strategy for a small side on its own; the
+    // guard's job is only to never FORCE one past the cap)
+    val plan = ov.queryExecution.analyzed.toString
+    assert(!plan.contains("broadcast"),
+      s"over-cap benchmark set still carries the broadcast hint:\n$plan")
+
+    val kept = Dedup.decontaminate(docs, bench, "text", "doc_id",
+        maxOverlap = 5L, maxBroadcastGrams = 1L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+
   test("embedding near-dup: identical and near-identical vectors found, orthogonal not") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
