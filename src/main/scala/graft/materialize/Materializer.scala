@@ -21,8 +21,21 @@ import org.apache.spark.sql.functions._
   *    `out/_manifests/<id>.json` with row count, min/max ts, spec hash,
   *    wall-clock and input lineage.
   *  - On resume, buckets with a complete manifest for the SAME spec hash
-  *    are skipped without touching data. A changed plan (different spec
-  *    hash) invalidates old manifests per bucket.
+  *    AND the same per-bucket INPUT FINGERPRINT are skipped without
+  *    touching data. A changed plan (different spec hash) invalidates
+  *    old manifests per bucket; so does late-arriving data (r4 VERDICT
+  *    #1): the enumeration scan records (rows, min ts, max ts) of the
+  *    input per bucket, and a completed bucket whose input fingerprint
+  *    no longer matches its manifest is re-materialized — a lake source
+  *    that back-fills yesterday's partition (late events, upstream
+  *    restatements) updates the sink on the next run instead of being
+  *    served stale forever. The fingerprint costs nothing extra: it
+  *    rides the same ts-column-only enumeration job. Limits: a
+  *    same-count in-place UPDATE of non-ts columns is invisible to a
+  *    ts-only probe (bump the spec hash or delete the manifest to force
+  *    a rewrite), and a bucket whose input rows vanished ENTIRELY is no
+  *    longer enumerated, so its committed data stays (incremental
+  *    windows legitimately leave old buckets behind — see read()).
   *  - ALL incomplete buckets are written by ONE distributed job
   *    (`partitionBy` + dynamic partition overwrite), so a 90-day
   *    backfill over an unpartitioned lake source scans the input once —
@@ -75,6 +88,14 @@ object Materializer {
     * source scan; manifests commit per bucket afterwards (the resume
     * unit).
     *
+    * `outDir` is a MANAGED, SINGLE-WRITER sink: the materializer owns
+    * every `bucket=` dir under it and purges any that lack a complete
+    * manifest (crash leftovers). Pointing it at a directory holding
+    * pre-existing partitioned data NOT written by this materializer is
+    * refused loudly (the purge would destroy it), and two concurrent
+    * materialize() calls against one sink are not supported (each would
+    * purge the other's in-flight dirs).
+    *
     * @param failAfter test hook: abort after N bucket manifests have
     *                  committed (simulates a crash between the data
     *                  commit and checkpoint bookkeeping)
@@ -90,16 +111,31 @@ object Materializer {
     val t0 = System.nanoTime()
     val hash = specHash(df)
     val manifestDir = Paths.get(outDir, "_manifests")
+    // a sink is "managed" iff its manifest dir already exists — recorded
+    // BEFORE creating it, so the purge below can distinguish our own
+    // crash leftovers from foreign data (r4 ADVICE #1)
+    val sinkWasManaged = Files.exists(manifestDir)
     Files.createDirectories(manifestDir)
 
     val withBucket = df.withColumn(
       "_bucket", coalesce(to_date(col(tsCol)).cast("string"), lit(NullBucket)))
-    // one tiny job to enumerate buckets (scans only the ts column)
-    val buckets = withBucket.select(col("_bucket")).distinct()
-      .orderBy(col("_bucket")).collect().map(_.getString(0)).toSeq
+    // one tiny job enumerates buckets AND their input fingerprints
+    // (rows, min ts, max ts) — still scans only the ts column
+    val inputStats: Map[String, (Long, Option[String], Option[String])] =
+      withBucket
+        .groupBy(col("_bucket"))
+        .agg(count(lit(1)).as("_n"),
+          min(col(tsCol)).cast("string").as("_mn"),
+          max(col(tsCol)).cast("string").as("_mx"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
+        .toMap
+    val buckets = inputStats.keys.toSeq.sorted
 
     val incomplete = buckets
-      .filterNot(b => isComplete(manifestDir.resolve(s"$b.json"), hash)).toSet
+      .filterNot(b => isCurrent(manifestDir.resolve(s"$b.json"), hash,
+        inputStats(b))).toSet
 
     // Delete every bucket= data dir that has NO complete manifest before
     // the write — not just dirs of currently-enumerated incomplete
@@ -125,7 +161,19 @@ object Materializer {
             val b = name.stripPrefix("bucket=")
             val committed = parseManifest(manifestDir.resolve(s"$b.json"))
               .exists(_.path("status").asText() == "complete")
-            if (!committed) fs.delete(st.getPath, true)
+            if (!committed) {
+              // an unmanifested bucket dir in a sink WE have written
+              // before is a crash leftover — purge it; in a sink with no
+              // prior manifest dir it is someone else's data — refuse
+              // rather than destroy (managed single-writer contract)
+              if (!sinkWasManaged)
+                throw new IllegalStateException(
+                  s"outDir '$outDir' contains partition dir '$name' but no " +
+                    "prior _manifests/ — refusing to manage (and purge " +
+                    "within) a sink not written by Materializer; choose an " +
+                    "empty or Materializer-owned directory")
+              fs.delete(st.getPath, true)
+            }
           }
         }
       }
@@ -206,6 +254,14 @@ object Materializer {
             s"bucket '$bucket' was enumerated as incomplete but the write " +
               "produced no rows for it; refusing to commit a manifest " +
               "(source changed mid-backfill?)"))
+        // refuse a committed-data/input divergence: the written rows must
+        // match what the enumeration fingerprinted (a source mutating
+        // MID-backfill between the two jobs would otherwise commit a
+        // manifest whose fingerprint never matches its data)
+        val (inRows, inMin, inMax) = inputStats(bucket)
+        if (rows != inRows) throw new IllegalStateException(
+          s"bucket '$bucket' wrote $rows rows but the input scan counted " +
+            s"$inRows; refusing to commit (source changed mid-backfill?)")
         writeManifest(manifestPath, Map(
           "bucket" -> bucket,
           "status" -> "complete",
@@ -213,6 +269,11 @@ object Materializer {
           "rows" -> rows,
           "min_ts" -> minTs.orNull,
           "max_ts" -> maxTs.orNull,
+          // input fingerprint (from the enumeration scan of the SOURCE):
+          // compared on resume so late-arriving data re-materializes
+          "input_rows" -> inRows,
+          "input_min_ts" -> inMin.orNull,
+          "input_max_ts" -> inMax.orNull,
           "wall_ms" -> wallShare) ++ lineage.map { case (k, v) => s"lineage_$k" -> v })
         done += 1
         BucketResult(bucket, rows, minTs, maxTs, wallShare, skipped = false)
@@ -307,6 +368,25 @@ object Materializer {
     parseManifest(path).exists { m =>
       m.path("status").asText() == "complete" &&
         m.path("spec_hash").asText() == hash
+    }
+
+  /** Complete + same spec hash + same input fingerprint. A manifest
+    * lacking fingerprint fields (written by an older engine version) is
+    * treated as stale — correctness over resume speed. */
+  private def isCurrent(
+      path: java.nio.file.Path,
+      hash: String,
+      fp: (Long, Option[String], Option[String])): Boolean =
+    parseManifest(path).exists { m =>
+      def optText(field: String): Option[String] = {
+        val n = m.path(field)
+        if (n.isMissingNode || n.isNull) None else Some(n.asText())
+      }
+      m.path("status").asText() == "complete" &&
+        m.path("spec_hash").asText() == hash &&
+        m.path("input_rows").asLong(-1L) == fp._1 &&
+        optText("input_min_ts") == fp._2 &&
+        optText("input_max_ts") == fp._3
     }
 
   private def readRows(path: java.nio.file.Path): Long =

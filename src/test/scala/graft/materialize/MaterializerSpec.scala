@@ -59,6 +59,52 @@ class MaterializerSpec extends SparkTestBase {
     assert(Materializer.read(spark, out).count() === feats.count())
   }
 
+  test("late-arriving input data re-materializes only the affected bucket") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val srcDir = s"$tmp/src.parquet"
+    def row(id: Long, ts: String) = (id, java.sql.Timestamp.valueOf(ts), s"v$id")
+    Seq(
+      row(1, "2024-05-01 08:00:00"), row(2, "2024-05-01 18:00:00"),
+      row(3, "2024-05-02 09:00:00"), row(4, "2024-05-02 17:00:00"),
+      row(5, "2024-05-03 10:00:00"), row(6, "2024-05-03 16:00:00"))
+      .toDF("id", "ts", "v").write.mode("overwrite").parquet(srcDir)
+    val out = s"$tmp/out"
+    val r1 = Materializer.materialize(spark, spark.read.parquet(srcDir), "ts", out)
+    assert(r1.completed === 3 && r1.skipped === 0)
+
+    // the normal lake case: yesterday's partition is back-filled with
+    // late events AFTER its bucket completed
+    Seq(row(7, "2024-05-02 23:59:00")).toDF("id", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+
+    // FRESH read (cross-process shape) — resume must come from manifests
+    val r2 = Materializer.materialize(spark, spark.read.parquet(srcDir), "ts", out)
+    assert(r2.skipped === 2, "unchanged buckets must still skip")
+    assert(r2.completed === 1, "the back-filled bucket must recompute")
+    assert(r2.buckets.find(_.bucket == "2024-05-02").exists(b => !b.skipped && b.rows === 3L))
+    // the sink serves the late row
+    val got = Materializer.read(spark, out)
+    assert(got.count() === 7L)
+    assert(got.filter($"id" === 7L).count() === 1L)
+
+    // a third run with nothing new skips everything
+    val r3 = Materializer.materialize(spark, spark.read.parquet(srcDir), "ts", out)
+    assert(r3.skipped === 3 && r3.completed === 0)
+  }
+
+  test("refuses to purge a sink holding foreign partitioned data (no _manifests)") {
+    val out = freshOut()
+    val foreign = java.nio.file.Paths.get(out, "bucket=2020-01-01")
+    java.nio.file.Files.createDirectories(foreign)
+    java.nio.file.Files.write(foreign.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val ex = intercept[IllegalStateException] {
+      Materializer.materialize(spark, feats, "ts", out)
+    }
+    assert(ex.getMessage.contains("refusing to manage"))
+    assert(java.nio.file.Files.exists(foreign.resolve("junk.parquet")),
+      "foreign data must be left untouched")
+  }
+
   test("resume: crash mid-backfill, rerun skips completed buckets, output identical") {
     val out = freshOut()
     intercept[RuntimeException] {
