@@ -1577,6 +1577,86 @@ object QueriesExtra {
        |FROM ov""".stripMargin
   }
 
+  // ------------------------------- spec-registered streaming source
+  /** Streaming source registered through the SPEC surface and executed
+    * (closing r4 Missing #2): a bounded transcript-shaped slice of
+    * `events` is laid out as a 5-file parquet directory, declared as a
+    * `file_stream` data source via `applyConfig` (the same EP1 path that
+    * registers kafka sources), compiled by [[graft.engine.FeatureEngine
+    * .readStreamDF]] with `max_files_per_trigger=2` — so the stream runs
+    * THREE micro-batches over the registered source, exercising
+    * cross-batch session merging downstream — and aggregated by
+    * [[graft.streaming.StreamingFeatures.sessionAggregates]]. A
+    * `field_mapping` rename (props→text) rides the spec to prove the
+    * mapping applies on the streaming path too.
+    *
+    * Files are laid out in EVENT-TIME order (range-partitioned on ts,
+    * mtimes ticked in order) — the shape of a real lake ingest, where
+    * files land roughly as time advances. This matters for determinism:
+    * the session operator drops input rows below the propagated
+    * watermark from the third micro-batch on EVEN in complete output
+    * mode (pinned by SessionWatermarkBehaviorSpec), so out-of-order
+    * file arrival would silently lose data — in-order arrival never
+    * produces a late row and the result is the exact batch replay.
+    * Oracle = q52's session replay over this disjoint user slice. */
+  def q54FileStreamSource(s: SparkSession, dir: String): DataFrame = {
+    val src = scratch("q54_stream_src", dir)
+    t(s, dir, "events")
+      .filter(col("user_id") >= 10 && col("user_id") < 20)
+      .select(col("user_id").cast("string").as("conv_id"), col("ts"),
+        col("props"),
+        when(col("event_type") === "click", "browser").otherwise("").as("tool"))
+      .repartitionByRange(5, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(src)
+    // deterministic arrival order: tick mtimes in part-file (= ts range)
+    // order so the file source's (mtime, path) ordering equals event time
+    locally {
+      val parts = new java.io.File(src).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      var tick = 1700000000000L
+      parts.foreach { f => tick += 2000L; f.setLastModified(tick): Unit }
+    }
+    val engine = new graft.engine.FeatureEngine(s)
+    engine.applyConfig(Map(
+      "data_sources" -> Map(
+        "event_stream" -> Map(
+          "type" -> "file_stream",
+          "path" -> src,
+          "timestamp_field" -> "ts",
+          "max_files_per_trigger" -> "2",
+          "field_mapping" -> Map("props" -> "text")))))
+    val out = graft.streaming.StreamingFeatures.sessionAggregates(
+      engine.readStream("event_stream"), gapSeconds = 1800L)
+    val table = s"q54_fs_${ProcessHandle.current().pid()}"
+    val q = out.writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(table).select(
+      col("conv_id"), col("session_start"), col("turns"),
+      col("tokens"), col("tool_turns"))
+  }
+
+  val q54Sql: String =
+    """WITH tr AS (
+      | SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, props AS text,
+      |  CASE WHEN event_type = 'click' THEN 'browser' ELSE '' END AS tool
+      | FROM events WHERE user_id >= 10 AND user_id < 20),
+      | g AS (
+      | SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |       THEN 1 ELSE 0 END AS is_new
+      | FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+      | sid AS (
+      | SELECT *, SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      | FROM g)
+      |SELECT conv_id, MIN(ts) AS session_start,
+      | CAST(COUNT(*) AS BIGINT) AS turns,
+      | CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens,
+      | CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns
+      |FROM sid GROUP BY conv_id, sess""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1615,7 +1695,8 @@ object QueriesExtra {
     "q50_pii_redact" -> (q50PiiRedact _),
     "q51_repetition" -> (q51Repetition _),
     "q52_streaming_sessions" -> (q52StreamingSessions _),
-    "q53_decontaminate" -> (q53Decontaminate _))
+    "q53_decontaminate" -> (q53Decontaminate _),
+    "q54_file_stream_source" -> (q54FileStreamSource _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1655,5 +1736,6 @@ object QueriesExtra {
     "q50_pii_redact" -> q50Sql,
     "q51_repetition" -> q51Sql,
     "q52_streaming_sessions" -> q52Sql,
-    "q53_decontaminate" -> q53Sql)
+    "q53_decontaminate" -> q53Sql,
+    "q54_file_stream_source" -> q54Sql)
 }

@@ -192,13 +192,69 @@ class FeatureEngine(
         throw new IllegalArgumentException(
           s"Source type '$other' has no batch compilation (streaming/online only)")
     }
+    applyMapping(src, raw)
+  }
+
+  private def applyMapping(src: SourceSpec, raw: DataFrame): DataFrame =
     src.fieldMapping.foldLeft(raw) { case (df, (from, to)) =>
       if (!df.columns.contains(from))
         throw new IllegalArgumentException(
           s"field_mapping of source '${src.name}' maps missing column '$from'")
       df.withColumnRenamed(from, to)
     }
+
+  // --------------------------------------------------- compile (stream)
+  /** Registered streaming source → the (format, options) pair its
+    * `spark.readStream` call uses. Split out as a pure function so the
+    * kafka wiring is assertable WITHOUT a broker (the sandbox ships no
+    * kafka connector jar) — the reference registers KafkaSource specs it
+    * never executes (sous_chef.py:35,43); this is the execution seam. */
+  def streamReaderFor(src: SourceSpec): (String, Map[String, String]) =
+    src.sourceType match {
+      case "kafka" =>
+        val brokers = src.params.getOrElse("bootstrap_servers",
+          throw new IllegalArgumentException(
+            s"kafka source '${src.name}' needs bootstrap_servers"))
+        val topic = src.params.getOrElse("topic",
+          throw new IllegalArgumentException(
+            s"kafka source '${src.name}' needs topic"))
+        ("kafka", Map(
+          "kafka.bootstrap.servers" -> brokers,
+          "subscribe" -> topic,
+          "startingOffsets" -> "earliest"))
+      case "file_stream" =>
+        val path = src.path.getOrElse(
+          throw new IllegalArgumentException(
+            s"file_stream source '${src.name}' needs a path"))
+        ("parquet", Map("path" -> path) ++
+          src.params.get("max_files_per_trigger").map("maxFilesPerTrigger" -> _))
+      case other =>
+        throw new IllegalArgumentException(
+          s"Source type '$other' has no streaming compilation")
+    }
+
+  /** Compile a registered source to a STREAMING DataFrame, feeding the
+    * [[graft.streaming.StreamingFeatures]] operators (readStream →
+    * transforms → writeStream). `field_mapping` renames apply exactly as
+    * in the batch path, so view specs compile against either. The file
+    * source needs a static schema: inferred once from the directory's
+    * existing files via a metadata-only batch probe (at scale, pass a
+    * registered table schema instead of re-inferring per job). */
+  def readStreamDF(src: SourceSpec): DataFrame = {
+    val (format, opts) = streamReaderFor(src)
+    val reader = spark.readStream.format(format).options(opts)
+    val raw = src.sourceType match {
+      case "file_stream" =>
+        reader.schema(spark.read.parquet(src.path.get).schema).load()
+      case _ => reader.load()
+    }
+    applyMapping(src, raw)
   }
+
+  /** [[readStreamDF]] by registered source name. */
+  def readStream(sourceName: String): DataFrame =
+    readStreamDF(registry.getSource(sourceName).getOrElse(
+      throw new IllegalArgumentException(s"Data source '$sourceName' not found")))
 
   /** Canonical Spark type for a spec dtype — compute in DOUBLE, cast
     * FLOAT only at the serving boundary (SURVEY §1.2). */

@@ -35,14 +35,20 @@ case class SourceSpec(
 }
 
 object SourceSpec {
-  /** Source-type parameter allowlists (reference: sous_chef.py:40-45). */
+  /** Source-type parameter allowlists (reference: sous_chef.py:40-45).
+    * `file_stream` is an engine extension beyond the reference's four
+    * types: a parquet directory consumed as a STREAM (Structured
+    * Streaming file source) — the in-sandbox-testable streaming seam;
+    * kafka compiles through the same [[graft.engine.FeatureEngine
+    * .readStreamDF]] path. */
   val SourceParams: Map[String, Seq[String]] = Map(
     "file" -> Seq("path", "timestamp_field", "created_timestamp_column", "field_mapping"),
     "spark" -> Seq("path", "timestamp_field", "table", "query", "field_mapping"),
     "kafka" -> Seq("bootstrap_servers", "topic", "timestamp_field", "message_format"),
-    "redis" -> Seq("connection_string", "key_ttl"))
+    "redis" -> Seq("connection_string", "key_ttl"),
+    "file_stream" -> Seq("path", "timestamp_field", "max_files_per_trigger", "field_mapping"))
 
-  val SupportedTypes: Seq[String] = Seq("file", "spark", "kafka", "redis")
+  val SupportedTypes: Seq[String] = Seq("file", "spark", "kafka", "redis", "file_stream")
 
   /** Filter config params per source type (reference: sous_chef.py:119-125). */
   def filterParams(sourceType: String, config: Map[String, String]): Map[String, String] =

@@ -1,0 +1,94 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.spec.SourceSpec
+
+/** The spec-registered-source → Structured Streaming seam (r4 VERDICT
+  * task #2): kafka sources compile to the right `readStream` options
+  * without a broker; `file_stream` sources execute end-to-end in the
+  * sandbox and agree with the batch path.
+  */
+class StreamingSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def engine = new FeatureEngine(spark)
+
+  test("registered kafka source compiles to kafka readStream options (no broker needed)") {
+    val e = engine
+    e.applyConfig(Map(
+      "data_sources" -> Map(
+        "turn_stream" -> Map(
+          "type" -> "kafka",
+          "bootstrap_servers" -> "broker1:9092,broker2:9092",
+          "topic" -> "turns",
+          "timestamp_field" -> "ts",
+          "message_format" -> "json",
+          "not_a_kafka_param" -> "dropped"))))
+    val src = e.registry.getSource("turn_stream").get
+    assert(src.params.get("not_a_kafka_param").isEmpty, "param filter must apply")
+
+    val (format, opts) = e.streamReaderFor(src)
+    assert(format === "kafka")
+    assert(opts("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+    assert(opts("subscribe") === "turns")
+    assert(opts("startingOffsets") === "earliest")
+    // batch compilation still refuses streaming-only types
+    val ex = intercept[IllegalArgumentException](e.sourceDF(src))
+    assert(ex.getMessage.contains("no batch compilation"))
+  }
+
+  test("kafka source without brokers or topic fails loudly at stream compile") {
+    val e = engine
+    val noTopic = SourceSpec("s1", "kafka", Map("bootstrap_servers" -> "b:9092"))
+    assert(intercept[IllegalArgumentException](e.streamReaderFor(noTopic))
+      .getMessage.contains("topic"))
+    val noBrokers = SourceSpec("s2", "kafka", Map("topic" -> "t"))
+    assert(intercept[IllegalArgumentException](e.streamReaderFor(noBrokers))
+      .getMessage.contains("bootstrap_servers"))
+    // online-only types have no streaming compilation either
+    val redis = SourceSpec("s3", "redis", Map("connection_string" -> "r:6379"))
+    assert(intercept[IllegalArgumentException](e.streamReaderFor(redis))
+      .getMessage.contains("no streaming compilation"))
+  }
+
+  test("file_stream source streams a parquet dir with field_mapping, agrees with batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fstream").toString
+    val data = Seq(
+      ("c1", java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), "hello world", ""),
+      ("c1", java.sql.Timestamp.valueOf("2024-03-01 10:05:00"), "more words here", "browser"),
+      ("c1", java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), "new session", ""),
+      ("c2", java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), "other conv", ""))
+      .toDF("conv_id", "ts", "raw_text", "tool")
+    data.repartition(3).write.mode("overwrite").parquet(s"$dir/src")
+
+    val e = engine
+    e.applyConfig(Map(
+      "data_sources" -> Map(
+        "doc_stream" -> Map(
+          "type" -> "file_stream",
+          "path" -> s"$dir/src",
+          "timestamp_field" -> "ts",
+          "max_files_per_trigger" -> "1",
+          "field_mapping" -> Map("raw_text" -> "text")))))
+    val stream = e.readStream("doc_stream")
+    assert(stream.isStreaming, "file_stream must compile to a streaming DataFrame")
+    assert(stream.columns.contains("text") && !stream.columns.contains("raw_text"),
+      "field_mapping must apply on the streaming path")
+
+    val out = graft.streaming.StreamingFeatures.sessionAggregates(
+      stream, gapSeconds = 1800L)
+    val table = s"fstream_spec_${ProcessHandle.current().pid()}"
+    val q = out.writeStream.format("memory").queryName(table)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table(table)
+      .select($"conv_id", $"turns", $"tokens", $"tool_turns")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // c1: two sessions (10:00-10:05 with 2 turns/5 tokens/1 tool, 12:00
+    // alone); c2: one session
+    assert(got === Set(("c1", 2L, 5L, 1L), ("c1", 1L, 2L, 0L), ("c2", 1L, 2L, 0L)))
+  }
+}
