@@ -1657,6 +1657,89 @@ object QueriesExtra {
       | CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns
       |FROM sid GROUP BY conv_id, sess""".stripMargin
 
+  // ------------------------------------ paragraph-level dedup (q55)
+  /** Corpus-wide repeated-paragraph stats + rewrite
+    * ([[Dedup.paragraphStats]] / [[Dedup.dedupParagraphs]], the Lee et
+    * al. 2022 paragraph-dedup family) driver-gated on a derived lined
+    * corpus: every doc contributes three 8-token lines of its own text
+    * (organically repeated wherever the raw texts repeat), every 4th doc
+    * a GLOBAL boilerplate line, every 5th doc one of 25 SHARED segment
+    * lines (~4 docs each at sf0.01). DuckDB replays the construction,
+    * the corpus-wide paragraph histogram, the per-doc fractions, the
+    * keep gate, and the first-occurrence-wins rebuilt text exactly. */
+  def q55ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    def seg(from: Int) = concat_ws(" ", slice(toks, lit(from), lit(8)))
+    val boiler = lit("subscribe to our newsletter for daily updates")
+    val shared = concat(lit("shared segment number "),
+      pmod(col("doc_id"), lit(25)).cast("string"))
+    val etext = concat(
+      seg(1),
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("\n"), boiler))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0, concat(lit("\n"), shared))
+        .otherwise(lit("")),
+      lit("\n"), seg(9), lit("\n"), seg(17))
+    val corpus = Dedup.spread(t(s, dir, "documents")).withColumn("etext", etext)
+    val stats = Dedup.paragraphStats(corpus, "etext", "doc_id")
+    val clean = Dedup.dedupParagraphs(corpus, "etext", "doc_id")
+      .withColumnRenamed("etext", "clean_text")
+    corpus.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("dup_paras"), lit(0L)).as("dup_paras"),
+        round(coalesce(col("dup_para_frac"), lit(0.0)), 6).as("dup_para_frac"),
+        (coalesce(col("dup_para_frac"), lit(0.0)) <= 0.5).cast("long").as("keep"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val q55Sql: String =
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      | parts AS (SELECT doc_id,
+      |  COALESCE(array_to_string(toks[1:8], ' '), '') AS l1,
+      |  COALESCE(array_to_string(toks[9:16], ' '), '') AS l2,
+      |  COALESCE(array_to_string(toks[17:24], ' '), '') AS l3
+      | FROM b),
+      | e AS (SELECT doc_id,
+      |  l1
+      |  || CASE WHEN doc_id % 4 = 0
+      |       THEN chr(10) || 'subscribe to our newsletter for daily updates'
+      |       ELSE '' END
+      |  || CASE WHEN doc_id % 5 = 0
+      |       THEN chr(10) || 'shared segment number ' || CAST(doc_id % 25 AS VARCHAR)
+      |       ELSE '' END
+      |  || chr(10) || l2 || chr(10) || l3 AS etext
+      | FROM parts),
+      | p0 AS (SELECT doc_id,
+      |  UNNEST(string_split(etext, chr(10))) AS raw,
+      |  UNNEST(range(1, LEN(string_split(etext, chr(10))) + 1)) AS pos
+      | FROM e),
+      | p AS (SELECT doc_id, pos, raw,
+      |  LOWER(REGEXP_REPLACE(TRIM(raw), '\s+', ' ', 'g')) AS norm
+      | FROM p0
+      | WHERE LOWER(REGEXP_REPLACE(TRIM(raw), '\s+', ' ', 'g')) <> ''),
+      | c AS (SELECT *, COUNT(*) OVER (PARTITION BY norm) AS cnt,
+      |  ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+      | FROM p),
+      | stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_paras
+      | FROM c GROUP BY doc_id),
+      | clean AS (SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS clean_text
+      | FROM c WHERE rn = 1 GROUP BY doc_id)
+      |SELECT e.doc_id,
+      | COALESCE(stats.n_paras, 0) AS n_paras,
+      | COALESCE(stats.dup_paras, 0) AS dup_paras,
+      | ROUND(COALESCE(CAST(stats.dup_paras AS DOUBLE) / stats.n_paras, 0), 6)
+      |   AS dup_para_frac,
+      | CAST(COALESCE(CAST(stats.dup_paras AS DOUBLE) / stats.n_paras, 0) <= 0.5
+      |   AS BIGINT) AS keep,
+      | COALESCE(clean.clean_text, '') AS clean_text
+      |FROM e
+      |LEFT JOIN stats ON e.doc_id = stats.doc_id
+      |LEFT JOIN clean ON e.doc_id = clean.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1696,7 +1779,8 @@ object QueriesExtra {
     "q51_repetition" -> (q51Repetition _),
     "q52_streaming_sessions" -> (q52StreamingSessions _),
     "q53_decontaminate" -> (q53Decontaminate _),
-    "q54_file_stream_source" -> (q54FileStreamSource _))
+    "q54_file_stream_source" -> (q54FileStreamSource _),
+    "q55_paragraph_dedup" -> (q55ParagraphDedup _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1737,5 +1821,6 @@ object QueriesExtra {
     "q51_repetition" -> q51Sql,
     "q52_streaming_sessions" -> q52Sql,
     "q53_decontaminate" -> q53Sql,
-    "q54_file_stream_source" -> q54Sql)
+    "q54_file_stream_source" -> q54Sql,
+    "q55_paragraph_dedup" -> q55Sql)
 }

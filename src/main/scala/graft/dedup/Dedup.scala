@@ -348,6 +348,84 @@ object Dedup {
     docs.join(hot, Seq(idCol), "left_anti")
   }
 
+  // --------------------------------------- paragraph-level dedup
+  /** One row per non-empty paragraph: (_id, _pos, _raw, _fp) — the
+    * shared base of [[paragraphStats]] and [[dedupParagraphs]].
+    * Paragraphs split on newline; the dedup KEY is the whitespace-
+    * collapsed lowercased form (same normalization family as
+    * [[graft.text.TextAnalysis.fingerprint]]), hashed to a 128-bit md5
+    * so the corpus-wide shuffle carries a fixed-width key, not
+    * paragraph text; `_raw` (the original paragraph) rides only as far
+    * as reconstruction needs it. Paragraphs that normalize to ''
+    * (blank/whitespace lines) are dropped — they are formatting, not
+    * content, and would otherwise be the most-repeated "paragraph" in
+    * any corpus. */
+  private def paraRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(df)
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_raw")))
+      .withColumn("_norm", lower(regexp_replace(trim(col("_raw")), "\\s+", " ")))
+      .filter(col("_norm") =!= "")
+      .withColumn("_fp", md5(col("_norm")))
+      .drop("_norm")
+
+  /** Per-document repeated-paragraph statistics — the paragraph-level
+    * analog of n-gram contamination scoring and the filter signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): documents dominated by paragraphs that repeat
+    * corpus-wide (boilerplate, navigation, licenses) are low-value and
+    * the FRACTION is the gate statistic.
+    *
+    * Returns (idCol, n_paras, dup_paras, dup_para_frac) where a
+    * paragraph counts as dup when its normalized form occurs ≥2 times
+    * corpus-wide (multiplicity counted, within-doc repeats included).
+    * Docs with zero non-empty paragraphs don't appear; callers needing
+    * zeros left-join back (q55 does).
+    *
+    * Scale shape: one hash shuffle on the 128-bit paragraph key (window
+    * count — same plan family as [[exact]]), one shuffle on the doc id
+    * for the per-doc rollup. Nothing is ever joined all-pairs and the
+    * paragraph text itself never enters an exchange. */
+  def paragraphStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val paras = paraRows(df, textCol, idCol).select(col("_id"), col("_fp"))
+    paras
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy(col("_fp"))))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum((col("_c") > 1).cast("long")).as("dup_paras"))
+      .select(col("_id").as(idCol), col("n_paras"), col("dup_paras"),
+        (col("dup_paras").cast("double") / col("n_paras")).as("dup_para_frac"))
+  }
+
+  /** Corpus-wide paragraph dedup REWRITE: every repeated paragraph is
+    * kept only at its first occurrence (ordered by (doc id, position) —
+    * deterministic) and removed everywhere else; unique paragraphs are
+    * untouched. Returns (idCol, textCol) with the rebuilt text — one
+    * row per input doc that still has at least one paragraph; callers
+    * join back on id for the other columns (docs reduced to nothing get
+    * '' via a left join, q55 shows the shape). Blank lines are dropped
+    * in the rebuild (see [[paraRows]]).
+    *
+    * Scale shape: the keep decision is ROW_NUMBER()=1 over the
+    * paragraph-key window (first occurrence and unique paragraphs both
+    * land on row 1 — one window, no count join), then one groupBy(doc)
+    * rebuilds text from the kept (position, raw) pairs. Shuffle cost:
+    * paragraph key + doc id, same as [[paragraphStats]].
+    */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_fp"))
+      .orderBy(col("_id").asc, col("_pos").asc)
+    paraRows(df, textCol, idCol)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col("_id"))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_raw").as("_r")))),
+          x => x.getField("_r"))).as(textCol))
+      .select(col("_id").as(idCol), col(textCol))
+  }
+
   /** Exact all-pairs n-gram Jaccard >= threshold (the oracle path; O(N²)
     * within a length bucket — use only at test scale or as the verifier
     * for sampled audits). */

@@ -60,7 +60,19 @@ object PretrainPipeline {
     *                         docs — Gopher applies its repetition
     *                         thresholds above a length floor for the
     *                         same reason. The dup-line gate is not
-    *                         length-confounded and always applies. */
+    *                         length-confounded and always applies.
+    * @param maxDupParaFrac  optional CORPUS-WIDE paragraph gate
+    *                         ([[graft.dedup.Dedup.paragraphStats]], Lee
+    *                         et al. 2022): drop docs whose fraction of
+    *                         paragraphs repeated ANYWHERE in the corpus
+    *                         exceeds this. Unlike the scan-local
+    *                         repetition gates it needs the global
+    *                         paragraph histogram — enabling it adds the
+    *                         two paragraph-key/doc-id shuffles of
+    *                         paragraphStats plus one anti-join, computed
+    *                         over the exact-deduped corpus (the staged
+    *                         table, so the extra pass re-scans stage
+    *                         files, not the raw input). */
   case class Config(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.75,
@@ -72,7 +84,8 @@ object PretrainPipeline {
       canonicalize: Canonicalize = Canonicalize.PairDrop,
       maxDupLineFrac: Option[Double] = None,
       maxTopNgramFrac: Option[Double] = None,
-      minRepetitionTokens: Int = 20)
+      minRepetitionTokens: Int = 20,
+      maxDupParaFrac: Option[Double] = None)
 
   /** @param stageDir when set, the exact-dedup result is materialized
     *                  there once and downstream stages read the files —
@@ -158,7 +171,18 @@ object PretrainPipeline {
           < cfg.minRepetitionTokens ||
           TextAnalysis.topNgramFraction(col(textCol), 2) <= t))
       .flatten.reduceOption(_ && _).getOrElse(lit(true))
-    val out = exact.join(drops, Seq(idCol), "left_anti")
+    val afterNearDup = exact.join(drops, Seq(idCol), "left_anti")
+    // corpus-wide paragraph gate (opt-in): histogram over the exact-
+    // deduped corpus, anti-join of the over-threshold doc ids
+    val afterParas = cfg.maxDupParaFrac match {
+      case Some(t) =>
+        val hot = Dedup.paragraphStats(exact, textCol, idCol)
+          .filter(col("dup_para_frac") > t)
+          .select(col(idCol))
+        afterNearDup.join(hot, Seq(idCol), "left_anti")
+      case None => afterNearDup
+    }
+    val out = afterParas
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&

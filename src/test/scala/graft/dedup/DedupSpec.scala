@@ -144,6 +144,37 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Set(3L))
   }
 
+  test("paragraph stats + rewrite: corpus-wide first occurrence wins, blanks dropped") {
+    val boiler = "Subscribe to our newsletter"
+    val docs = Seq(
+      // doc 1: unique + boiler; boiler's first occurrence (doc 1, pos 1)
+      (1L, "alpha beta gamma\nSubscribe   to our NEWSLETTER\nunique one"),
+      // doc 2: boiler (normalized-equal, mixed case/space) + unique + a blank line
+      (2L, s"$boiler\n   \nunique two"),
+      // doc 3: all unique, plus an in-doc repeat
+      (3L, "same line twice\nsame line twice\nunique three"),
+      // doc 4: nothing but boiler → rewritten to nothing
+      (4L, boiler)
+    ).toDF("doc_id", "text")
+
+    val stats = Dedup.paragraphStats(docs, "text", "doc_id")
+      .select($"doc_id", $"n_paras", $"dup_paras").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // blanks don't count; boiler occurs 3× corpus-wide, "same line twice" 2×
+    assert(stats(1L) === ((3L, 1L)))
+    assert(stats(2L) === ((2L, 1L)))
+    assert(stats(3L) === ((3L, 2L)))
+    assert(stats(4L) === ((1L, 1L)))
+
+    val clean = Dedup.dedupParagraphs(docs, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    // first occurrence (doc 1 pos 2) keeps its RAW form; later copies drop
+    assert(clean(1L) === "alpha beta gamma\nSubscribe   to our NEWSLETTER\nunique one")
+    assert(clean(2L) === "unique two")
+    assert(clean(3L) === "same line twice\nunique three")
+    assert(!clean.contains(4L), "all-dup doc has no rebuilt row (callers left-join '')")
+  }
+
   test("embedding near-dup: identical and near-identical vectors found, orthogonal not") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

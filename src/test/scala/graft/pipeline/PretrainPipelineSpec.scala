@@ -64,6 +64,34 @@ class PretrainPipelineSpec extends SparkTestBase {
       "both repetition classes dropped; short clean doc exempt via the length floor")
   }
 
+  test("paragraph gate: boilerplate-dominated docs dropped only when enabled") {
+    val lineA = "the value of a table row is in the scan and the plan is good"
+    val lineB = "a different english line with the usual words of the language now"
+    val boiler = "the news of the day is in the table of the value rows"
+    // docs 1-2: mostly-unique text + one shared boiler line → frac 1/3;
+    // doc 3: boiler + one more line shared with doc 4 → frac 1.0;
+    // doc 4 shares one line with doc 3 → frac 1/2
+    val shared = "the shared line of the good text is in the value of a plan"
+    val docs = Seq(
+      (1L, s"$lineA\n$boiler\nthe first unique line of the doc is a good one here"),
+      (2L, s"$lineB\n$boiler\nthe second unique line of the doc is a good one too"),
+      (3L, s"$boiler\n$shared"),
+      (4L, s"$shared\nthe last unique line of the set is a good long one again")
+    ).toDF("doc_id", "text")
+
+    val off = PretrainPipeline.clean(docs, "text", "doc_id",
+      cfg = PretrainPipeline.Config(minQuality = 0.0))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(off === Seq(1L, 2L, 3L, 4L), "gate disabled: all pass")
+
+    val on = PretrainPipeline.clean(docs, "text", "doc_id",
+      cfg = PretrainPipeline.Config(minQuality = 0.0,
+        maxDupParaFrac = Some(0.6)))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(on === Seq(1L, 2L, 4L),
+      "only the fully-boilerplate doc (frac 1.0) exceeds the 0.6 gate")
+  }
+
   test("staged clean (stageDir) equals the unstaged plan") {
     val docs = Seq(
       (1L, "the value of a table row is in the scan and the plan is for " +
