@@ -1740,6 +1740,36 @@ object QueriesExtra {
       |LEFT JOIN stats ON e.doc_id = stats.doc_id
       |LEFT JOIN clean ON e.doc_id = clean.doc_id""".stripMargin
 
+  // --------------------------------------- approx aggregates (q56)
+  /** Bounded-state approximate aggregates
+    * ([[graft.features.ApproxAggregates.eventTypeStats]], approx mode)
+    * driver-gated against the EXACT DuckDB aggregates. Legitimacy of an
+    * exact oracle for approximate operators: the input is planted at a
+    * cardinality where the approximation is provably/verifiably exact —
+    * ≤40 distinct users per group against 2^16 HLL registers (no
+    * register collision at sf0.01, checked live; linear counting then
+    * returns n exactly) and ~500-row groups against a 100k-accuracy GK
+    * summary (every sample retained → exact order statistics). Both
+    * engines are deterministic and the gate data is fixed, so the
+    * equality is conclusive, not lucky (same doctrine as the q22/q24
+    * LSH gates). The at-scale error-bound contract is spec'd separately
+    * (ApproxAggregatesSpec). */
+  def q56ApproxAggs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 40)
+    graft.features.ApproxAggregates.eventTypeStats(ev, approx = true)
+      .select(col("event_type"), col("n_events"), col("distinct_users"),
+        round(col("p50_value"), 6).as("p50_value"),
+        round(col("p90_value"), 6).as("p90_value"))
+  }
+
+  val q56Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+      | ROUND(quantile_disc(value, 0.5), 6) AS p50_value,
+      | ROUND(quantile_disc(value, 0.9), 6) AS p90_value
+      |FROM events WHERE user_id < 40
+      |GROUP BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1780,7 +1810,8 @@ object QueriesExtra {
     "q52_streaming_sessions" -> (q52StreamingSessions _),
     "q53_decontaminate" -> (q53Decontaminate _),
     "q54_file_stream_source" -> (q54FileStreamSource _),
-    "q55_paragraph_dedup" -> (q55ParagraphDedup _))
+    "q55_paragraph_dedup" -> (q55ParagraphDedup _),
+    "q56_approx_aggs" -> (q56ApproxAggs _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1822,5 +1853,6 @@ object QueriesExtra {
     "q52_streaming_sessions" -> q52Sql,
     "q53_decontaminate" -> q53Sql,
     "q54_file_stream_source" -> q54Sql,
-    "q55_paragraph_dedup" -> q55Sql)
+    "q55_paragraph_dedup" -> q55Sql,
+    "q56_approx_aggs" -> q56Sql)
 }

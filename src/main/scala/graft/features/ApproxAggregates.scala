@@ -1,0 +1,63 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-aggregate variants of the metric rollups (SURVEY §2.3 A2
+  * anticipated this; r4 VERDICT Missing #3): the EXACT forms —
+  * `COUNT(DISTINCT)` and the full-map `percentile` buffer q26 uses —
+  * are what the DuckDB oracle can replay, but at 100× with adversarial
+  * group cardinality they are OOM shapes (the percentile buffer holds a
+  * per-group value-count map; count-distinct holds the value set).
+  * These opt-in variants bound state per group at a few KB:
+  *
+  *  - `approx_count_distinct` — HyperLogLog++, 2^p registers per group
+  *    where p ≈ 2·log2(1.106/rsd); memory is CONSTANT in the value
+  *    count. Spark's implementation is dense-only (no exact sparse
+  *    mode), so even tiny cardinalities are estimates — the estimate is
+  *    deterministic (fixed xxhash64, no seed), and for n ≪ 2^p register
+  *    collisions are rare enough that linear counting returns the exact
+  *    n with high probability (the q56 gate leans on exactly this, at a
+  *    planted cardinality where determinism makes it conclusive;
+  *    ApproxAggregatesSpec carries the error-bound evidence at scale).
+  *  - `percentile_approx` — Greenwald-Khanna summaries with relative
+  *    rank error 1/accuracy; for groups SMALLER than the compression
+  *    threshold every sample is retained and the answer is an exact
+  *    order statistic.
+  *
+  * The switch ships as one function with `approx: Boolean` so call
+  * sites opt in per rollup, not per fork of the code.
+  */
+object ApproxAggregates {
+
+  /** Per-event-type metric rollup: row count, distinct users, p50/p90
+    * of the metric column. `approx = false` is the oracle-exact form;
+    * `approx = true` is the bounded-state form for 100 TB groups.
+    *
+    * Output: (event_type, n_events, distinct_users, p50_value,
+    * p90_value) — identical schema in both modes so a pipeline can flip
+    * the switch without downstream changes.
+    */
+  def eventTypeStats(
+      events: DataFrame,
+      approx: Boolean,
+      rsd: Double = 0.005,
+      percentileAccuracy: Int = 100000): DataFrame = {
+    val users: Column =
+      if (approx) approx_count_distinct(col("user_id"), rsd)
+      else countDistinct(col("user_id"))
+    val percs: Column =
+      if (approx)
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(percentileAccuracy))
+      else expr("percentile(value, array(0.5D, 0.9D))")
+    events.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        users.as("distinct_users"),
+        percs.as("_p"))
+      .select(col("event_type"), col("n_events"), col("distinct_users"),
+        col("_p").getItem(0).as("p50_value"),
+        col("_p").getItem(1).as("p90_value"))
+  }
+}

@@ -77,8 +77,16 @@ class StreamingSourceSpec extends SparkTestBase {
     assert(stream.columns.contains("text") && !stream.columns.contains("raw_text"),
       "field_mapping must apply on the streaming path")
 
+    // Watermark must cover the full event-time span: repartition(3)
+    // assigns rows to files nondeterministically and the file source
+    // orders near-equal mtimes arbitrarily, so the 12:00 row can arrive
+    // a micro-batch before the 10:00 rows — with the default 1-hour
+    // delay they'd then be dropped as late (the exact behavior
+    // SessionWatermarkBehaviorSpec pins; q54 instead forces in-order
+    // arrival via mtime ticks). A 1-day delay makes the result
+    // arrival-order-invariant, which is what THIS spec asserts.
     val out = graft.streaming.StreamingFeatures.sessionAggregates(
-      stream, gapSeconds = 1800L)
+      stream, gapSeconds = 1800L, watermark = "1 day")
     val table = s"fstream_spec_${ProcessHandle.current().pid()}"
     val q = out.writeStream.format("memory").queryName(table)
       .outputMode("complete").start()
