@@ -26,28 +26,46 @@ object Bench {
     val spark = GraftSession.local(cpus, "graft-bench")
     import spark.implicits._
 
-    // ---- host-load calibration (emitted as calibration_ms) ----
-    // A fixed single-thread CPU burn measured before the suite: its
-    // wall-clock depends only on the cycles the (shared, drifting) host
-    // actually delivers, so any reader can normalize suite totals across
-    // load windows by the ratio of calibration_ms between two artifacts
-    // (BASELINE.md "Load normalization"). Median of 3 — the median tracks
-    // sustained load where a min would report the one lucky quantum.
-    val calibrationMs = {
-      def burn(): Double = {
-        var x = 0x9E3779B97F4A7C15L
-        var i = 0
-        val t0 = System.nanoTime()
-        while (i < 100000000) {
-          x = x * 6364136223846793005L + 1442695040888963407L
-          x ^= (x >>> 33)
-          i += 1
-        }
-        if (x == 42L) print("") // keep the loop observable (defeat DCE)
-        (System.nanoTime() - t0) / 1e6
+    // ---- host-load calibration (calibration_ms / calibration_mt_ms) ----
+    // Fixed CPU burns measured before the suite: their wall-clock depends
+    // only on the cycles the (shared, drifting) host actually delivers, so
+    // any reader can normalize suite totals across load windows by the
+    // ratio of the calibration figures between two artifacts (BASELINE.md
+    // "Load normalization"). Median of 3 — the median tracks sustained
+    // load where a min would report the one lucky quantum.
+    //
+    // TWO burns because contention is parallelism-dependent (r4 VERDICT
+    // What's-wrong #1: a 1-thread burn under-corrected a 32-way-parallel
+    // suite's load inflation ~5×): calibration_ms is a single thread
+    // (normalizes serial sections); calibration_mt_ms runs `cpus`
+    // concurrent copies of the same loop and reports the wall-clock until
+    // the LAST finishes (normalizes the 32-way-parallel query suite —
+    // under oversubscription it stretches roughly like the suite does).
+    def burnOnce(seed: Long): Unit = {
+      var x = seed
+      var i = 0
+      while (i < 100000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33)
+        i += 1
       }
-      val runs = Seq(burn(), burn(), burn()).sorted
+      if (x == 42L) print("") // keep the loop observable (defeat DCE)
+    }
+    def medianOf3(run: () => Double): Double = {
+      val runs = Seq(run(), run(), run()).sorted
       runs(1)
+    }
+    val calibrationMs = medianOf3 { () =>
+      val t0 = System.nanoTime()
+      burnOnce(0x9E3779B97F4A7C15L)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calibrationMtMs = medianOf3 { () =>
+      val t0 = System.nanoTime()
+      val threads = (1 to cpus).map(i => new Thread(() => burnOnce(0x9E3779B97F4A7C15L + i)))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
     }
 
     // ---- transcript workload scaled to SF (sf0.1 → ~500k turns) ----
@@ -129,6 +147,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +
       s""""errors":$errJson,"calibration_ms":${f"$calibrationMs%.1f"},""" +
+      s""""calibration_mt_ms":${f"$calibrationMtMs%.1f"},""" +
       s""""sf":"$sfDir","cpus":$cpus,"transcript_turns":$nTurns,""" +
       s""""materialize_sec":${f"$matSec%.3f"},"turns_per_sec":${f"$turnsPerSec%.0f"},""" +
       s""""asof_sec":${f"$asofSec%.3f"},"asof_rows":$nOut}""")
