@@ -1770,6 +1770,43 @@ object QueriesExtra {
       |FROM events WHERE user_id < 40
       |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------ mixture sampling (q57)
+  /** Deterministic stratified mixture sampling
+    * ([[graft.pipeline.MixtureSampler.sample]]): per-language keep
+    * rates decided by a 60-bit md5 hash of doc_id, exactly replayable
+    * in DuckDB — the oracle recomputes the SAME hash and the SAME
+    * integer thresholds (embedded as literals computed by the same
+    * Scala code), so the gate matches the sample row-for-row, not just
+    * in expectation. Scan-local predicate: no shuffle, no RNG state. */
+  private val q57Rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0)
+  private val q57Default = 0.1
+
+  def q57MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MixtureSampler.sample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", q57Rates, defaultRate = q57Default)
+      .select(col("doc_id"), col("lang"),
+        round(col("sample_weight"), 6).as("sample_weight"))
+
+  val q57Sql: String = {
+    import graft.pipeline.MixtureSampler.threshold
+    val thrCase = q57Rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN CAST(${threshold(r)} AS BIGINT)" }
+      .mkString(" ")
+    val rateCase = q57Rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN CAST($r AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH d AS (
+       | SELECT doc_id, lang,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-mix'), 1, 15)
+       |       AS BIGINT) AS h,
+       |  CASE lang $thrCase ELSE CAST(${threshold(q57Default)} AS BIGINT) END AS thr,
+       |  CASE lang $rateCase ELSE CAST($q57Default AS DOUBLE) END AS rate
+       | FROM documents)
+       |SELECT doc_id, lang, ROUND(1.0 / rate, 6) AS sample_weight
+       |FROM d WHERE h < thr""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1811,7 +1848,8 @@ object QueriesExtra {
     "q53_decontaminate" -> (q53Decontaminate _),
     "q54_file_stream_source" -> (q54FileStreamSource _),
     "q55_paragraph_dedup" -> (q55ParagraphDedup _),
-    "q56_approx_aggs" -> (q56ApproxAggs _))
+    "q56_approx_aggs" -> (q56ApproxAggs _),
+    "q57_mixture_sample" -> (q57MixtureSample _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1854,5 +1892,6 @@ object QueriesExtra {
     "q53_decontaminate" -> q53Sql,
     "q54_file_stream_source" -> q54Sql,
     "q55_paragraph_dedup" -> q55Sql,
-    "q56_approx_aggs" -> q56Sql)
+    "q56_approx_aggs" -> q56Sql,
+    "q57_mixture_sample" -> q57Sql)
 }

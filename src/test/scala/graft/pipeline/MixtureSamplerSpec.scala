@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MixtureSamplerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 30k docs across 3 strata with known sizes (round-robin: exact thirds)
+  private def docs = spark.range(30000).select(
+    col("id").as("doc_id"),
+    element_at(array(lit("en"), lit("fr"), lit("code")),
+      (col("id") % 3).cast("int") + 1).as("lang"))
+
+  test("deterministic: two invocations select the identical row set") {
+    val r = Map("en" -> 0.5, "fr" -> 0.2)
+    val a = MixtureSampler.sample(docs, "lang", "doc_id", r).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = MixtureSampler.sample(docs, "lang", "doc_id", r).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("realized per-stratum rates land near targets; unlisted strata use the default") {
+    val sampled = MixtureSampler.sample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.2), defaultRate = 0.05)
+    val mix = MixtureSampler.realizedMixture(sampled, docs, "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // 10k docs/stratum: binomial sd ≈ sqrt(p(1-p)/10000) ≤ 0.005; 5 sd.
+    assert(math.abs(mix("en") - 0.5) < 0.025, mix)
+    assert(math.abs(mix("fr") - 0.2) < 0.02, mix)
+    assert(math.abs(mix("code") - 0.05) < 0.015, mix)
+  }
+
+  test("nested samples: raising a rate strictly grows the previous sample") {
+    def ids(rate: Double) = MixtureSampler
+      .sample(docs.filter($"lang" === "en"), "lang", "doc_id", Map("en" -> rate))
+      .select("doc_id").as[Long].collect().toSet
+    val s20 = ids(0.2); val s50 = ids(0.5); val s100 = ids(1.0)
+    assert(s20.subsetOf(s50) && s50.subsetOf(s100))
+    assert(s20.size < s50.size && s50.size < s100.size)
+    assert(s100.size === 10000) // rate 1.0 keeps everything
+  }
+
+  test("rate 0 drops a stratum entirely; weights are 1/rate") {
+    val sampled = MixtureSampler.sample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "fr" -> 0.0), defaultRate = 0.1)
+    assert(sampled.filter($"lang" === "fr").count() === 0)
+    val w = sampled.select($"lang", $"sample_weight").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(w("en") === 2.0 && w("code") === 10.0)
+  }
+
+  test("the sampling predicate is scan-local: no exchange below the filter") {
+    val sampled = MixtureSampler.sample(docs, "lang", "doc_id", Map("en" -> 0.5))
+    sampled.collect()
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
