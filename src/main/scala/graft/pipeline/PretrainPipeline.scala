@@ -72,7 +72,15 @@ object PretrainPipeline {
     *                         paragraphStats plus one anti-join, computed
     *                         over the exact-deduped corpus (the staged
     *                         table, so the extra pass re-scans stage
-    *                         files, not the raw input). */
+    *                         files, not the raw input).
+    * @param mixture         optional FINAL stage: deterministic
+    *                         stratified mixture sampling
+    *                         ([[MixtureSampler.sample]]) of the cleaned
+    *                         survivors — a scan-local hash-threshold
+    *                         predicate (zero extra shuffles/passes;
+    *                         rides the filter scan) that adds a
+    *                         `sample_weight` column. Strata default to
+    *                         the pipeline's own `lang_pred`. */
   case class Config(
       langs: Set[String] = Set("en"),
       minQuality: Double = 0.75,
@@ -85,7 +93,15 @@ object PretrainPipeline {
       maxDupLineFrac: Option[Double] = None,
       maxTopNgramFrac: Option[Double] = None,
       minRepetitionTokens: Int = 20,
-      maxDupParaFrac: Option[Double] = None)
+      maxDupParaFrac: Option[Double] = None,
+      mixture: Option[Mixture] = None)
+
+  /** Mixture-sampling stage config (see [[Config.mixture]]). */
+  case class Mixture(
+      rates: Map[String, Double],
+      stratumCol: String = "lang_pred",
+      defaultRate: Double = 0.0,
+      salt: String = "graft-mix")
 
   /** @param stageDir when set, the exact-dedup result is materialized
     *                  there once and downstream stages read the files —
@@ -182,11 +198,16 @@ object PretrainPipeline {
         afterNearDup.join(hot, Seq(idCol), "left_anti")
       case None => afterNearDup
     }
-    val out = afterParas
+    val cleaned = afterParas
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&
         col("quality") >= cfg.minQuality && repetitionGate)
+    val out = cfg.mixture match {
+      case Some(m) => MixtureSampler.sample(
+        cleaned, m.stratumCol, idCol, m.rates, m.defaultRate, m.salt)
+      case None => cleaned
+    }
     (out, stageReused)
   }
 

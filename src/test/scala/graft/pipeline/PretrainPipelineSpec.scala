@@ -34,6 +34,35 @@ class PretrainPipelineSpec extends SparkTestBase {
     assert(out.forall(_._3 >= 0.75))
   }
 
+  test("mixture stage: survivors sampled per lang_pred stratum, weights attached, off by default") {
+    // 60 distinct clean English docs (unique trailing token defeats the
+    // exact/near dedup stages), sampled at en -> 0.5 as the final stage
+    val base = "the data table is a good row of value and the scan is in " +
+      "the plan for this query to be a fast one with the right value token"
+    val docs = (1L to 60L).map(i => (i, s"$base $i")).toDF("doc_id", "text")
+
+    // the docs differ only in the trailing token (exact J ~ 25/27 = 0.93),
+    // so raise the near-dup threshold to keep the dedup stages neutral —
+    // this test targets the mixture stage
+    val cfg = PretrainPipeline.Config(nearDupThreshold = 0.95)
+    val cleaned = PretrainPipeline.clean(docs, "text", "doc_id", cfg)
+    assert(!cleaned.columns.contains("sample_weight"), "mixture is opt-in")
+    val survivors = cleaned.select($"doc_id").as[Long].collect().toSet
+    assert(survivors.size === 60)
+
+    val mixed = PretrainPipeline.clean(docs, "text", "doc_id",
+      cfg.copy(mixture = Some(PretrainPipeline.Mixture(rates = Map("en" -> 0.5)))))
+    val got = mixed.select($"doc_id", $"sample_weight")
+      .as[(Long, Double)].collect()
+    assert(got.forall(_._2 === 2.0))
+    // the stage is exactly MixtureSampler.sample over the cleaned set
+    val expect = MixtureSampler.sample(
+      cleaned, "lang_pred", "doc_id", Map("en" -> 0.5))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet === expect)
+    assert(got.nonEmpty && got.length < 60)
+  }
+
   test("repetition gates: repetitive docs dropped only when enabled") {
     val good =
       "the data table is a good row of value and the scan is in the plan " +
