@@ -1807,6 +1807,70 @@ object QueriesExtra {
        |FROM d WHERE h < thr""".stripMargin
   }
 
+  // --------------------------- dataset splits / quotas / thresholds
+  /** Deterministic train/val/test assignment
+    * ([[graft.pipeline.MixtureSampler.assignSplit]]): hash-threshold
+    * CASE over cumulative integer thresholds, different salt than the
+    * mixture sampler so membership is independent of sampling survival.
+    * DuckDB replays the identical hash + thresholds row-for-row. */
+  private val q58Splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  def q58SplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MixtureSampler.assignSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", q58Splits)
+
+  val q58Sql: String = {
+    val thr = graft.pipeline.MixtureSampler.splitThresholds(q58Splits)
+    val whens = thr.init
+      .map { case (n, t) => s"WHEN h < CAST($t AS BIGINT) THEN '$n'" }
+      .mkString(" ")
+    s"""WITH d AS (
+       | SELECT doc_id, lang,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-split'), 1, 15)
+       |       AS BIGINT) AS h
+       | FROM documents)
+       |SELECT doc_id, lang,
+       | CASE $whens ELSE '${thr.last._1}' END AS split
+       |FROM d""".stripMargin
+  }
+
+  /** Per-source quota cap ([[graft.pipeline.MixtureSampler.capPerStratum]]):
+    * keep ≤10 of each source's 25 docs (the cap BINDS on every stratum at gate scale), ranked by the content-independent hash
+    * (doc_id tie-break) — a uniform deterministic sample of each
+    * stratum, replayed in DuckDB by the identical correlated
+    * ROW_NUMBER. */
+  def q59QuotaCap(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.MixtureSampler.capPerStratum(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", maxPerStratum = 10)
+
+  val q59Sql: String =
+    """SELECT doc_id, source FROM (
+      | SELECT doc_id, source,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      |   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-cap'), 1, 15)
+      |        AS BIGINT), doc_id) AS rk
+      | FROM documents)
+      |WHERE rk <= 10""".stripMargin
+
+  /** Corpus-relative quantile filtering
+    * ([[graft.features.ApproxAggregates.quantileThresholdFilter]]):
+    * keep documents at/above the corpus p75 of n_chars. At gate scale
+    * (n ≤ GK accuracy) the threshold is an exact order statistic, so
+    * DuckDB's quantile_disc replays it exactly — same doctrine as q56. */
+  def q60QuantileFilter(s: SparkSession, dir: String): DataFrame =
+    graft.features.ApproxAggregates.quantileThresholdFilter(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "n_chars", q = 0.75)
+
+  val q60Sql: String =
+    """SELECT doc_id, n_chars,
+      | (SELECT CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) FROM documents)
+      |   AS threshold
+      |FROM documents
+      |WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1849,7 +1913,10 @@ object QueriesExtra {
     "q54_file_stream_source" -> (q54FileStreamSource _),
     "q55_paragraph_dedup" -> (q55ParagraphDedup _),
     "q56_approx_aggs" -> (q56ApproxAggs _),
-    "q57_mixture_sample" -> (q57MixtureSample _))
+    "q57_mixture_sample" -> (q57MixtureSample _),
+    "q58_split_assign" -> (q58SplitAssign _),
+    "q59_quota_cap" -> (q59QuotaCap _),
+    "q60_quantile_filter" -> (q60QuantileFilter _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1893,5 +1960,8 @@ object QueriesExtra {
     "q54_file_stream_source" -> q54Sql,
     "q55_paragraph_dedup" -> q55Sql,
     "q56_approx_aggs" -> q56Sql,
-    "q57_mixture_sample" -> q57Sql)
+    "q57_mixture_sample" -> q57Sql,
+    "q58_split_assign" -> q58Sql,
+    "q59_quota_cap" -> q59Sql,
+    "q60_quantile_filter" -> q60Sql)
 }

@@ -30,6 +30,38 @@ import org.apache.spark.sql.functions._
   */
 object ApproxAggregates {
 
+  /** Corpus-relative threshold filtering: keep rows whose `valueCol` is
+    * at or above the corpus's q-quantile (e.g. "keep the top 25% of
+    * documents by quality score" — thresholds that adapt to the corpus
+    * instead of a hand-tuned constant). Two bounded passes:
+    *
+    *  1. ONE approximate-percentile aggregation over the whole corpus —
+    *     GK summary state is O(accuracy), constant in corpus size, and
+    *     the result collected to the driver is a single scalar (a
+    *     bounded collect, like the IVF centroid reads);
+    *  2. a scan-local `>= threshold` filter with the scalar baked into
+    *     the plan as a literal — pushes down to the source like any
+    *     constant predicate.
+    *
+    * Below the GK compression threshold (n ≤ accuracy) the quantile is
+    * an exact order statistic, which is what lets q60 gate this against
+    * DuckDB's `quantile_disc` exactly at gate scale; at 100 TB the same
+    * call degrades gracefully to a 1/accuracy rank-error threshold.
+    * The chosen threshold is attached as a literal `threshold` column
+    * for auditability. */
+  def quantileThresholdFilter(
+      df: DataFrame,
+      valueCol: String,
+      q: Double,
+      accuracy: Int = 100000): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1): $q")
+    val thr = df.agg(
+      percentile_approx(col(valueCol).cast("double"), lit(q), lit(accuracy)).as("t"))
+      .collect().head.getDouble(0)
+    df.filter(col(valueCol) >= thr)
+      .withColumn("threshold", lit(thr))
+  }
+
   /** Per-event-type metric rollup: row count, distinct users, p50/p90
     * of the metric column. `approx = false` is the oracle-exact form;
     * `approx = true` is the bounded-state form for 100 TB groups.

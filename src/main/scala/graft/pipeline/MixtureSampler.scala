@@ -74,6 +74,79 @@ object MixtureSampler {
       .withColumn("sample_weight", lit(1.0) / rate)
   }
 
+  /** Deterministic dataset split assignment: label each row train/val/
+    * test (or any named fractions) by the same engine-independent
+    * 60-bit hash, with a DIFFERENT salt so split membership is
+    * statistically independent of mixture-sampling survival. The
+    * decision is a scan-local CASE over cumulative integer thresholds:
+    * no shuffle, no RNG, exactly replayable (q58), and stable under
+    * corpus growth — a document's split never changes when other
+    * documents are added or removed, which is what prevents silent
+    * train/test leakage across pipeline re-runs.
+    *
+    * `splits` is an ordered list of (name, fraction); fractions must
+    * sum to ~1 (±1e-9). Rows land in the first split whose cumulative
+    * threshold exceeds their hash. */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft-split",
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val h = u60(col(keyCol), salt)
+    // clamp the cumulative sums: float addition can land at 1.0 + 2 ulp
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.min(c, 1.0))
+    // last split catches everything (avoids a float-edge unassigned row)
+    val expr0: Column = lit(splits.last._1)
+    val assigned = splits.init.zip(cum.init).reverse
+      .foldLeft(expr0) { case (acc, ((name, _), c)) =>
+        when(h < threshold(c), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** Cumulative integer thresholds for `splits` (oracle authoring). */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.min(c, 1.0))
+    splits.map(_._1).zip(cum.map(threshold))
+  }
+
+  /** Per-stratum quota cap: keep at most `maxPerStratum` rows of each
+    * stratum (the standard per-domain/per-URL-host cap against corpus
+    * domination by one source), selected DETERMINISTICALLY — rows are
+    * ranked inside each stratum by the content-independent u60 hash
+    * (key as tie-break), so the kept set is a uniform, replayable
+    * sample of the stratum, not "whatever the scan happened to read
+    * first", and is stable under partitioning.
+    *
+    * Cost: one hash shuffle on the stratum key + a per-partition sort
+    * (a single window pass, same shape as top-k-per-group q05). A
+    * stratum's rows must sort within one task; for web-scale corpora
+    * where one domain can exceed a task, first pre-thin the hot strata
+    * with [[sample]] at rate ≈ 2·cap/|stratum| (nested-sample
+    * monotonicity keeps the final set identical as long as the
+    * pre-thin keeps ≥ cap rows — the window then picks the same lowest
+    * hashes), or cap via AQE skew-split-friendly aggregation. */
+  def capPerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      maxPerStratum: Int,
+      salt: String = "graft-cap"): DataFrame = {
+    require(maxPerStratum > 0, "maxPerStratum must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(u60(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerStratum)
+      .drop("__rk")
+  }
+
   /** Realized mixture audit: per-stratum kept count and fraction of the
     * stratum kept — one aggregation over the sample's strata. */
   def realizedMixture(sampled: DataFrame, full: DataFrame,

@@ -59,6 +59,19 @@ class ApproxAggregatesSpec extends SparkTestBase {
     assert(rankErr(row.getAs[Double]("p90_value"), 0.9) <= 0.01 + 1.0 / n)
   }
 
+  test("quantileThresholdFilter: exact p75 cut below compression, threshold attached") {
+    val ev = mkEvents(1000, users = 10, "load") // values 0..999, distinct
+    val kept = ApproxAggregates.quantileThresholdFilter(ev, "value", 0.75)
+    val rows = kept.collect()
+    // exact order statistic at n=1000 << accuracy: p75 = value 749
+    assert(rows.forall(_.getAs[Double]("threshold") === 749.0))
+    assert(rows.length === 251) // values 749..999 inclusive
+    assert(rows.forall(_.getAs[Double]("value") >= 749.0))
+    assert(intercept[IllegalArgumentException](
+      ApproxAggregates.quantileThresholdFilter(ev, "value", 1.5))
+      .getMessage.contains("quantile"))
+  }
+
   test("GK retains every sample below the compression threshold: exact order statistic") {
     val n = 5000L
     val ev = mkEvents(n, users = 40, "cart")

@@ -52,6 +52,46 @@ class MixtureSamplerSpec extends SparkTestBase {
     assert(w("en") === 2.0 && w("code") === 10.0)
   }
 
+
+  test("assignSplit: every row labeled, realized fractions near targets, fractions validated") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val labeled = MixtureSampler.assignSplit(docs, "doc_id", splits)
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 30000)
+    assert(math.abs(counts("train") / 30000.0 - 0.9) < 0.02, counts)
+    assert(math.abs(counts("val") / 30000.0 - 0.05) < 0.01, counts)
+    assert(math.abs(counts("test") / 30000.0 - 0.05) < 0.01, counts)
+    assert(intercept[IllegalArgumentException](
+      MixtureSampler.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2)))
+      .getMessage.contains("sum to 1"))
+  }
+
+  test("assignSplit is stable under corpus growth: no train/test churn on re-runs") {
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val small = MixtureSampler.assignSplit(docs.filter($"doc_id" < 5000),
+      "doc_id", splits).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val big = MixtureSampler.assignSplit(docs, "doc_id", splits)
+      .filter($"doc_id" < 5000).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(small === big)
+  }
+
+  test("capPerStratum keeps min(cap, |stratum|) rows, deterministic across partitionings") {
+    val capped = MixtureSampler.capPerStratum(docs, "lang", "doc_id", 100)
+    val counts = capped.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 100L, "fr" -> 100L, "code" -> 100L))
+    val a = capped.select("doc_id").as[Long].collect().toSet
+    val b = MixtureSampler.capPerStratum(docs.repartition(13), "lang", "doc_id", 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // a small stratum passes through whole
+    val tiny = MixtureSampler.capPerStratum(
+      docs.filter($"doc_id" < 30), "lang", "doc_id", 100)
+    assert(tiny.count() === 30)
+  }
+
   test("the sampling predicate is scan-local: no exchange below the filter") {
     val sampled = MixtureSampler.sample(docs, "lang", "doc_id", Map("en" -> 0.5))
     sampled.collect()
