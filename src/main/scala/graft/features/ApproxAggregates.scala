@@ -58,8 +58,17 @@ object ApproxAggregates {
     val thr = df.agg(
       percentile_approx(col(valueCol).cast("double"), lit(q), lit(accuracy)).as("t"))
       .collect().head.getDouble(0)
-    df.filter(col(valueCol) >= thr)
-      .withColumn("threshold", lit(thr))
+    // Compare in the column's NATIVE type: `longCol >= doubleLit` wraps
+    // the column in a cast, which blocks parquet predicate pushdown
+    // (caught by the PlanSpec q60 gate — the scan kept only IsNotNull).
+    // For an integral column, x >= thr  <=>  x >= ceil(thr) as a long.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val pred = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(valueCol) >= lit(math.ceil(thr).toLong)
+      case _ => col(valueCol) >= lit(thr)
+    }
+    df.filter(pred).withColumn("threshold", lit(thr))
   }
 
   /** Per-event-type metric rollup: row count, distinct users, p50/p90

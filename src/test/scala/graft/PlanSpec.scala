@@ -47,6 +47,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("q57/q58: sampling and split assignment are scan-local (zero exchanges)") {
+    for (q <- Seq("q57_mixture_sample", "q58_split_assign")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q59: per-stratum quota cap is a single window pass") {
+    val p = plan("q59_quota_cap")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"quota cap must shuffle exactly once (by stratum):\n$p")
+    assert(p.contains("Window"), s"expected a window ranking pass:\n$p")
+  }
+
+  test("q60: the quantile threshold becomes a pushed-down scan predicate") {
+    // the threshold is collected driver-side and baked in as a literal,
+    // so the corpus re-scan must push `n_chars >= thr` into the reader
+    val p = plan("q60_quantile_filter")
+    assert(p.contains("GreaterThanOrEqual(n_chars,"),
+      s"threshold predicate not pushed to the documents scan:\n$p")
+  }
+
   test("q41: semi/anti execute as existence hash joins, never row-amplifying") {
     val p = plan("q41_semi_anti")
     assert(p.contains("LeftSemi"), s"expected a LeftSemi join:\n$p")

@@ -1,8 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkTestBase
+
+case class MixDoc(doc_id: Long, lang: String)
 
 class MixtureSamplerSpec extends SparkTestBase {
   import spark.implicits._
@@ -97,5 +100,35 @@ class MixtureSamplerSpec extends SparkTestBase {
     sampled.collect()
     val plan = sampled.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("stateless sampling/splitting run unchanged on a stream: stream == batch") {
+    // the predicate carries no state, so the operators are streaming-
+    // compatible as-is — append mode, no watermark, no aggregation
+    val rows = (1L to 2000L).map(i =>
+      MixDoc(i, if (i % 2 == 0) "en" else "fr"))
+    val input = MemoryStream[MixDoc](spark)
+    val sampled = MixtureSampler.assignSplit(
+      MixtureSampler.sample(input.toDF(), "lang", "doc_id",
+        Map("en" -> 0.5, "fr" -> 0.2)),
+      "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+    assert(sampled.isStreaming)
+    val q = sampled.writeStream.format("memory")
+      .queryName("mix_stream").outputMode("append").start()
+    try {
+      input.addData(rows.take(1000))
+      q.processAllAvailable()
+      input.addData(rows.drop(1000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mix_stream")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val batch = MixtureSampler.assignSplit(
+      MixtureSampler.sample(rows.toDF(), "lang", "doc_id",
+        Map("en" -> 0.5, "fr" -> 0.2)),
+      "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
   }
 }
