@@ -52,10 +52,60 @@ object ScalingBench {
       .withDefaultValue(Nil)
     val asofSamples = scala.collection.mutable.Map.empty[Int, List[Double]]
       .withDefaultValue(Nil)
+    // per-sample calibration burns (1-thread and level-width), measured
+    // immediately before each timed materialization: the sandbox host's
+    // DELIVERED multi-core cycles drift across minutes, and a level's
+    // raw throughput is uninterpretable without knowing how many
+    // effective cores its window actually provided (r4 VERDICT: a
+    // 1-thread burn under-corrects parallel contention ~5×; here each
+    // LEVEL gets its own width-matched burn)
+    val calSamples = scala.collection.mutable.Map.empty[Int, List[(Double, Double)]]
+      .withDefaultValue(Nil)
+    val coresUsed = scala.collection.mutable.Map.empty[Int, List[Double]]
+      .withDefaultValue(Nil)
     var nTurns = 0L
 
     def time(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+
+    // cores the JVM ACTUALLY burned during a timed run (process CPU time
+    // / wall): on an idle host a local[2] session uses MORE than 2 cores
+    // (GC, netty, IO threads leak onto free cores — the documented
+    // quiet-host leak that inflates the low-N level), and this measures
+    // that leak directly instead of inferring it. On a real cluster an
+    // executor is hard-capped at its cores, so leak-free per-used-core
+    // numbers are the transferable ones.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timeWithCpu(f: => Unit): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cores = (osBean.getProcessCpuTime - c0) / 1e9 / wall
+      (wall, cores)
+    }
+
+    def burnOnce(seed: Long): Unit = {
+      var x = seed
+      var i = 0
+      while (i < 50000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33)
+        i += 1
+      }
+      if (x == 42L) print("")
+    }
+    /** (1-thread burn ms, n-thread burn ms) — single shot each; the
+      * per-level min over rounds is what gets interpreted. */
+    def calibrate(n: Int): (Double, Double) = {
+      val oneT = time(burnOnce(0x9E3779B97F4A7C15L)) * 1000
+      val mt = time {
+        val ts = (1 to n).map(i => new Thread(() => burnOnce(0x9E3779B97F4A7C15L + i)))
+        ts.foreach(_.start()); ts.foreach(_.join())
+      } * 1000
+      (oneT, mt)
     }
 
     for (round <- 1 to rounds; cpus <- cpuLevels) {
@@ -68,10 +118,13 @@ object ScalingBench {
         TranscriptFeatures.turnFeaturesNarrow(turns)
           .write.mode("overwrite").format("noop").save()
       }
-      matSamples(cpus) = time {
+      calSamples(cpus) = calibrate(cpus) :: calSamples(cpus)
+      val (matWall, matCores) = timeWithCpu {
         TranscriptFeatures.turnFeaturesNarrow(turns)
           .write.mode("overwrite").format("noop").save()
-      } :: matSamples(cpus)
+      }
+      matSamples(cpus) = matWall :: matSamples(cpus)
+      coresUsed(cpus) = matCores :: coresUsed(cpus)
 
       val feats = TranscriptFeatures.turnFeaturesNarrow(turns)
         .select("conv_id", "ts", "turn_idx", "turns_so_far", "tokens_so_far")
@@ -86,25 +139,48 @@ object ScalingBench {
     }
 
     val results = cpuLevels.map { cpus =>
-      val matSec = matSamples(cpus).min
+      val matList = matSamples(cpus).reverse
+      val calList = calSamples(cpus).reverse
+      val minIdx = matList.zipWithIndex.minBy(_._1)._2
+      val matSec = matList(minIdx)
+      // the calibration pair measured immediately before the reported
+      // (min) sample — the delivered-cycles context of THAT window
+      val (cal1, calMt) = calList(minIdx)
+      // effective cores the window delivered to a `cpus`-wide job: an
+      // idle host gives calMt ≈ cal1 → `cpus`; a host delivering only c
+      // of them stretches the mt burn to ~cpus/c × cal1
+      val delivered = math.max(1.0, math.min(cpus.toDouble, cpus * cal1 / calMt))
+      val used = coresUsed(cpus).reverse(minIdx)
       val asofSec = asofSamples(cpus).min
       val tps = nTurns / matSec
       println(
         s"""{"bench":"scaling","cpus":$cpus,"turns":$nTurns,""" +
         s""""materialize_sec":${f"$matSec%.2f"},"turns_per_sec":${f"$tps%.0f"},""" +
         s""""asof_sec":${f"$asofSec%.2f"},""" +
-        s""""mat_samples":[${matSamples(cpus).reverse.map(x => f"$x%.2f").mkString(",")}]}""")
-      (cpus, tps, asofSec)
+        s""""cal_ms":${f"$cal1%.1f"},"cal_mt_ms":${f"$calMt%.1f"},""" +
+        s""""delivered_cores":${f"$delivered%.2f"},""" +
+        s""""cores_used":${f"$used%.2f"},""" +
+        s""""mat_samples":[${matList.map(x => f"$x%.2f").mkString(",")}],""" +
+        s""""cal_mt_samples":[${calList.map(c => f"${c._2}%.0f").mkString(",")}]}""")
+      (cpus, tps, asofSec, used)
     }
 
     for {
-      (c1, t1, _) <- results
-      (c2, t2, _) <- results
+      (c1, t1, _, u1) <- results
+      (c2, t2, _, u2) <- results
       if c2 == 4 * c1
     } {
       val eff = (t2 / t1) / 4.0
+      // per-USED-core efficiency: divide each level's throughput by the
+      // cores its JVM measurably consumed during that run. This removes
+      // the quiet-host leak (a local[2] session burning 2.8 cores of
+      // GC/IO/task cycles is credited for 2.8, not 2) — 1.0 means every
+      // consumed core contributed equally at both widths, which is the
+      // number that transfers to hard-capped cluster executors.
+      val effUsed = (t2 / u2) / (t1 / u1)
       println(s"""{"bench":"scaling_efficiency","from_cpus":$c1,"to_cpus":$c2,""" +
-        s""""efficiency":${f"$eff%.3f"}}""")
+        s""""efficiency":${f"$eff%.3f"},""" +
+        s""""efficiency_per_used_core":${f"$effUsed%.3f"}}""")
     }
   }
 }
