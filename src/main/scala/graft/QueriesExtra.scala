@@ -1671,8 +1671,12 @@ object QueriesExtra {
     val toks = split(col("text"), " ", -1)
     def seg(from: Int) = concat_ws(" ", slice(toks, lit(from), lit(8)))
     val boiler = lit("subscribe to our newsletter for daily updates")
+    // doc_id/5 (exact: the line only attaches when doc_id % 5 == 0)
+    // mod 25 gives 25 distinct shared-segment classes; pmod(doc_id, 25)
+    // restricted to multiples of 5 would give only {0,5,10,15,20} — 5
+    // classes, 5x more concentrated than the plant documents (r5 review)
     val shared = concat(lit("shared segment number "),
-      pmod(col("doc_id"), lit(25)).cast("string"))
+      pmod((col("doc_id") / 5).cast("long"), lit(25)).cast("string"))
     val etext = concat(
       seg(1),
       when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("\n"), boiler))
@@ -1708,7 +1712,7 @@ object QueriesExtra {
       |       THEN chr(10) || 'subscribe to our newsletter for daily updates'
       |       ELSE '' END
       |  || CASE WHEN doc_id % 5 = 0
-      |       THEN chr(10) || 'shared segment number ' || CAST(doc_id % 25 AS VARCHAR)
+      |       THEN chr(10) || 'shared segment number ' || CAST((doc_id // 5) % 25 AS VARCHAR)
       |       ELSE '' END
       |  || chr(10) || l2 || chr(10) || l3 AS etext
       | FROM parts),

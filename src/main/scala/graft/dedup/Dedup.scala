@@ -316,9 +316,19 @@ object Dedup {
       idCol: String,
       shingleWidth: Int = 3,
       maxBroadcastGrams: Long = 20000000L): DataFrame = {
+    // localCheckpoint so the distinct gram set is computed ONCE: the
+    // guard must count it before choosing a join strategy, and without
+    // materialization the join would re-run the whole shingle+distinct
+    // (worst exactly in the over-cap case the guard exists for). The
+    // checkpoint backs the returned DataFrame and is never freed here
+    // (repo convention: never unpersist the final checkpoint behind a
+    // returned plan); MEMORY_AND_DISK storage keeps the over-cap case
+    // bounded-safe. This makes benchmarkOverlap eager at call time —
+    // inherent to guarding: the strategy choice needs the count.
     val bg = bench
       .select(explode(shingles(col(textCol), shingleWidth)).as("_g"))
       .distinct()
+      .localCheckpoint()
     // ~100 B/gram in a broadcast hash relation → the 20M default is ~2 GB,
     // well under Spark's 8 GB broadcast ceiling
     val bgSide = if (bg.count() <= maxBroadcastGrams) broadcast(bg) else bg

@@ -55,9 +55,15 @@ object ApproxAggregates {
       q: Double,
       accuracy: Int = 100000): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile must be in (0,1): $q")
-    val thr = df.agg(
+    val row = df.agg(
       percentile_approx(col(valueCol).cast("double"), lit(q), lit(accuracy)).as("t"))
-      .collect().head.getDouble(0)
+      .collect().head
+    // empty input (or all-null value column) yields a null percentile —
+    // fail with the cause, not a bare NullPointerException downstream
+    require(!row.isNullAt(0),
+      s"quantileThresholdFilter: no non-null '$valueCol' values to take " +
+        s"the $q-quantile of (empty corpus, or the column is all null)")
+    val thr = row.getDouble(0)
     // Compare in the column's NATIVE type: `longCol >= doubleLit` wraps
     // the column in a cast, which blocks parquet predicate pushdown
     // (caught by the PlanSpec q60 gate — the scan kept only IsNotNull).

@@ -115,6 +115,26 @@ object Materializer {
     // BEFORE creating it, so the purge below can distinguish our own
     // crash leftovers from foreign data (r4 ADVICE #1)
     val sinkWasManaged = Files.exists(manifestDir)
+    // The foreign-data refusal must run BEFORE _manifests/ is created:
+    // creating it first would make a RETRY of the refused call see a
+    // "managed" sink and purge the very data the first call refused to
+    // touch (caught in the r5 review).
+    if (!sinkWasManaged) {
+      val spark0 = df.sparkSession
+      val base = new org.apache.hadoop.fs.Path(outDir)
+      val fs = base.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+      if (fs.exists(base)) {
+        val foreign = fs.listStatus(base)
+          .find(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+        foreign.foreach { st =>
+          throw new IllegalStateException(
+            s"outDir '$outDir' contains partition dir '${st.getPath.getName}' " +
+              "but no prior _manifests/ — refusing to manage (and purge " +
+              "within) a sink not written by Materializer; choose an " +
+              "empty or Materializer-owned directory")
+        }
+      }
+    }
     Files.createDirectories(manifestDir)
 
     val withBucket = df.withColumn(

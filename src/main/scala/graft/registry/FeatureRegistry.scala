@@ -98,13 +98,28 @@ class FeatureRegistry {
   /** Attach an append-only versioned store. Creates `dir` if absent;
     * replays the highest committed snapshot into this registry; every
     * subsequent state-changing apply appends a new versioned snapshot.
-    * `clock` is injectable for deterministic tests. */
+    * `clock` is injectable for deterministic tests.
+    *
+    * Pre-attach in-memory state is never silently lost (r5 review):
+    * attaching a NON-EMPTY registry to an EMPTY store bootstraps the
+    * store with a version-1 snapshot of the current state; attaching a
+    * non-empty registry to a store that already has snapshots is
+    * REFUSED (there is no principled merge order — either the snapshot
+    * would clobber the in-memory applies or vice versa). Attach first,
+    * then apply. */
   def attachStore(dir: String,
       clock: () => Long = () => System.currentTimeMillis()): Unit = {
     val p = Paths.get(dir)
     Files.createDirectories(p)
     nowMs = clock
     val snaps = snapshotFiles(p)
+    val empty = entities.isEmpty && sources.isEmpty &&
+      views.isEmpty && services.isEmpty
+    if (snaps.nonEmpty && !empty)
+      throw new IllegalStateException(
+        s"attachStore: registry already holds applied objects and '$dir' " +
+          "already holds snapshots — attaching would silently clobber one " +
+          "of them. Attach the store FIRST, then apply changes.")
     snaps.lastOption.foreach { latest =>
       val snap = Serialization.read[Snapshot](
         new String(Files.readAllBytes(latest), StandardCharsets.UTF_8))
@@ -112,6 +127,12 @@ class FeatureRegistry {
       storeVersion = snap.version
     }
     store = Some(p)
+    if (snaps.isEmpty && !empty) {
+      storeVersion = 1
+      writeAtomic(p.resolve(f"v$storeVersion%06d.json"),
+        Serialization.writePretty(
+          Snapshot(storeVersion, nowMs(), Change("registry", "bootstrap"), stateNow)))
+    }
   }
 
   /** The audited apply stream of the attached store, version-ordered

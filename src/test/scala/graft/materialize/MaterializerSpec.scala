@@ -103,6 +103,16 @@ class MaterializerSpec extends SparkTestBase {
     assert(ex.getMessage.contains("refusing to manage"))
     assert(java.nio.file.Files.exists(foreign.resolve("junk.parquet")),
       "foreign data must be left untouched")
+
+    // a RETRY must refuse again, not purge: the refused call must not
+    // have left a _manifests/ marker behind that would make the sink
+    // look managed on the second attempt (r5 review finding #1)
+    val ex2 = intercept[IllegalStateException] {
+      Materializer.materialize(spark, feats, "ts", out)
+    }
+    assert(ex2.getMessage.contains("refusing to manage"))
+    assert(java.nio.file.Files.exists(foreign.resolve("junk.parquet")),
+      "foreign data must survive a retry of the refused call")
   }
 
   test("resume: crash mid-backfill, rerun skips completed buckets, output identical") {

@@ -66,6 +66,36 @@ class RegistryStoreSpec extends AnyFunSuite {
       .getMessage.contains("no snapshot"))
   }
 
+  test("attaching a non-empty registry to an empty store bootstraps a v1 snapshot") {
+    val dir = tmpDir()
+    val r = new FeatureRegistry
+    r.applyEntity(ent); r.applySource(src) // pre-attach, in-memory only
+    r.attachStore(dir)
+    assert(r.getEntity("customer") === Some(ent), "pre-attach state preserved")
+    val h = r.history()
+    assert(h.map(e => (e.version, e.kind, e.name)) ===
+      Seq((1, "registry", "bootstrap")))
+    // a restart from the store alone recovers the bootstrapped state
+    val r2 = new FeatureRegistry
+    r2.attachStore(dir)
+    assert(r2.getSource("s") === Some(src))
+    r2.applyView(view(7))
+    assert(r2.history().map(_.version) === Seq(1, 2))
+  }
+
+  test("attaching a non-empty registry to a store WITH snapshots is refused") {
+    val dir = tmpDir()
+    val r1 = new FeatureRegistry
+    r1.attachStore(dir)
+    r1.applyEntity(ent)
+    val r2 = new FeatureRegistry
+    r2.applySource(src) // diverged in-memory state
+    val ex = intercept[IllegalStateException](r2.attachStore(dir))
+    assert(ex.getMessage.contains("clobber"))
+    assert(r2.getSource("s") === Some(src), "refusal must not mutate either side")
+    assert(r2.history().isEmpty)
+  }
+
   test("a leftover .tmp from a crashed write is ignored on attach") {
     val dir = tmpDir()
     val r = new FeatureRegistry
