@@ -1875,6 +1875,93 @@ object QueriesExtra {
       |FROM documents
       |WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents)""".stripMargin
 
+  // ------------------------- DSIR importance weighting (q61)
+  /** DSIR-style hashed-n-gram importance weights
+    * ([[graft.pipeline.ImportanceWeights.dsirWeights]]): target = the
+    * corpus's English slice, source = the whole corpus. Scores are
+    * exact integer sums of driver-quantized log ratios, and both the
+    * bucket hash (md5/u60, same construction as q57/q58/q59) and the
+    * quantization (floor(x·1e6 + ½), Java Math.round) are replayed
+    * verbatim by DuckDB — the gate is bit-exact, not approximate. The
+    * transcendental step (LN) is computed by both engines on identical
+    * IEEE inputs and lands on the same doubles on the fixed gate data
+    * (verified live; quantization then absorbs sub-micro differences
+    * except on knife-edge half-integers, which the fixed corpus does
+    * not contain). */
+  def q61ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.pipeline.ImportanceWeights.dsirWeights(
+        docs, docs.filter(col("lang") === "en"), "text")
+      .select(col("doc_id"), col("n_grams"), col("log_w_micro"))
+  }
+
+  val q61Sql: String =
+    """WITH tok AS (
+      | SELECT doc_id, lang,
+      |  LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS toks
+      | FROM documents),
+      |grams AS (
+      | SELECT doc_id, lang,
+      |  list_concat(toks,
+      |   list_transform(range(1, GREATEST(LEN(toks), 1)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS gs
+      | FROM tok),
+      |g AS (SELECT doc_id, lang, UNNEST(gs) AS gram FROM grams),
+      |b AS (SELECT doc_id, lang,
+      |  CAST(CAST('0x' || substr(md5(gram || ':graft-dsir'), 1, 15) AS BIGINT) % 256 AS INT) AS bucket
+      | FROM g),
+      |src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+      |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT
+      |  (SELECT SUM(cnt) FROM tgt) + 0.5 * 256 AS t_tot,
+      |  (SELECT SUM(cnt) FROM src) + 0.5 * 256 AS s_tot),
+      |lr AS (SELECT s.bucket,
+      |  CAST(FLOOR((LN((COALESCE(t.cnt, 0) + 0.5) / tot.t_tot)
+      |            - LN((s.cnt + 0.5) / tot.s_tot)) * 1000000 + 0.5) AS BIGINT) AS lrq
+      | FROM src s LEFT JOIN tgt t USING (bucket), tot),
+      |sc AS (SELECT b.doc_id, CAST(SUM(lr.lrq) AS BIGINT) AS log_w_micro
+      | FROM b JOIN lr USING (bucket) GROUP BY 1),
+      |ng AS (SELECT doc_id, CAST(LEN(gs) AS BIGINT) AS n_grams FROM grams)
+      |SELECT ng.doc_id, ng.n_grams, COALESCE(sc.log_w_micro, 0) AS log_w_micro
+      |FROM ng LEFT JOIN sc ON ng.doc_id = sc.doc_id""".stripMargin
+
+  // ------------------- context-window packing plan (q62)
+  /** Deterministic packing plan ([[graft.pipeline.Packing.pack]]):
+    * hash-ordered global document sequence, distributed prefix sum of
+    * token counts, and the 512-token context windows each document
+    * occupies. All-integer arithmetic; DuckDB replays the global
+    * running sum with a single ORDER BY window (its scale ceiling is
+    * exactly why the engine shards the prefix sum — PlanSpec asserts
+    * the Spark window is hash-partitioned, never SinglePartition). */
+  def q62PackBins(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.spread(t(s, dir, "documents")).select(col("doc_id"),
+      graft.functions.WhitespaceTokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.pipeline.Packing.pack(docs, "doc_id", "n_tokens",
+        capacity = 512L, nShards = 8)
+      .select(col("doc_id"), col("n_tokens"), col("seq"), col("cum_tokens"),
+        col("bin_first"), col("bin_last"))
+  }
+
+  val q62Sql: String =
+    """WITH d AS (
+      | SELECT doc_id,
+      |  CASE WHEN TRIM(text) = '' THEN 0
+      |       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tokens,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft-pack'), 1, 15)
+      |       AS BIGINT) AS h
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS seq,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+      |       AS BIGINT) AS cum_tokens
+      | FROM d WHERE n_tokens > 0)
+      |SELECT doc_id, n_tokens, seq, cum_tokens,
+      | (cum_tokens - n_tokens) // 512 AS bin_first,
+      | (cum_tokens - 1) // 512 AS bin_last
+      |FROM o""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -1920,7 +2007,9 @@ object QueriesExtra {
     "q57_mixture_sample" -> (q57MixtureSample _),
     "q58_split_assign" -> (q58SplitAssign _),
     "q59_quota_cap" -> (q59QuotaCap _),
-    "q60_quantile_filter" -> (q60QuantileFilter _))
+    "q60_quantile_filter" -> (q60QuantileFilter _),
+    "q61_importance_weights" -> (q61ImportanceWeights _),
+    "q62_pack_bins" -> (q62PackBins _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -1967,5 +2056,7 @@ object QueriesExtra {
     "q57_mixture_sample" -> q57Sql,
     "q58_split_assign" -> q58Sql,
     "q59_quota_cap" -> q59Sql,
-    "q60_quantile_filter" -> q60Sql)
+    "q60_quantile_filter" -> q60Sql,
+    "q61_importance_weights" -> q61Sql,
+    "q62_pack_bins" -> q62Sql)
 }

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashedNgramBuckets, HashedNgramRatioScore, WhitespaceTokenCount}
+
+/** DSIR-style data selection via importance resampling (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every raw-corpus document by how much more
+  * likely its hashed-n-gram bag is under a target-domain distribution
+  * than under the raw-corpus distribution, so downstream sampling can
+  * up-weight target-like data without training a classifier.
+  *
+  * log w(doc) = Σ_{g ∈ grams(doc)} log( p_target[b(g)] / p_source[b(g)] )
+  *
+  * where grams = unigrams + bigrams of the normalized text, b(g) hashes
+  * a gram into one of `nBuckets` buckets ([[graft.functions.HashedNgram]],
+  * the engine's standard engine-independent md5/u60 construction), and
+  * the two bucket distributions carry add-½ smoothing.
+  *
+  * 100 TB shape — three scans, nothing else:
+  *  - two distribution passes (target is normally tiny; the source pass
+  *    is one corpus scan) that each reduce to a ≤`nBuckets`-row
+  *    map-side-combined aggregate, collected driver-side (bounded, same
+  *    doctrine as the IVF centroid table);
+  *  - one scoring scan where the whole per-document computation is a
+  *    single codegen'd scalar ([[HashedNgramRatioScore]]) — no explode,
+  *    no per-document shuffle, no UDF.
+  *
+  * Determinism: log ratios are quantized driver-side to integer
+  * micro-units (`round(log · 1e6)`), so per-document scores are exact
+  * integer sums — order-independent and replayable bit-for-bit by a SQL
+  * oracle that recomputes the same buckets and the same quantized
+  * ratios (q61).
+  */
+object ImportanceWeights {
+
+  val DefaultBuckets = 256
+  val DefaultSalt = "graft-dsir"
+
+  /** Per-bucket gram-occurrence histogram of a corpus: one codegen'd
+    * scan + a map-side-combined aggregate to ≤ nBuckets rows, collected
+    * driver-side (bounded by construction). */
+  def bucketCounts(
+      df: DataFrame,
+      textCol: String,
+      nBuckets: Int = DefaultBuckets,
+      salt: String = DefaultSalt): Array[Long] = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20]: $nBuckets")
+    val rows = df
+      .select(explode(HashedNgramBuckets(col(textCol), nBuckets, salt)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect()
+    val counts = new Array[Long](nBuckets)
+    rows.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    counts
+  }
+
+  /** Quantized (micro-unit) smoothed log importance ratios:
+    * round( [ln((t_b + ½)/(Σt + ½B)) − ln((s_b + ½)/(Σs + ½B))] · 1e6 ).
+    * Computed once driver-side so the scoring scan does no float math
+    * and the oracle can embed the identical arithmetic. */
+  def logRatiosMicro(target: Array[Long], source: Array[Long]): Array[Long] = {
+    require(target.length == source.length,
+      s"histogram sizes differ: ${target.length} vs ${source.length}")
+    val b = target.length
+    val tTot = target.sum.toDouble + 0.5 * b
+    val sTot = source.sum.toDouble + 0.5 * b
+    Array.tabulate(b) { i =>
+      val lr = math.log((target(i) + 0.5) / tTot) - math.log((source(i) + 0.5) / sTot)
+      math.round(lr * 1e6)
+    }
+  }
+
+  /** Score `df` against precomputed quantized ratios: scan-local,
+    * zero-shuffle. Output adds `n_grams` (unigrams + bigrams = 2T−1
+    * for T ≥ 1 tokens) and `log_w_micro` (score in 1e-6 log units). */
+  def score(
+      df: DataFrame,
+      textCol: String,
+      lrqMicro: Array[Long],
+      nBuckets: Int = DefaultBuckets,
+      salt: String = DefaultSalt): DataFrame = {
+    val tc = WhitespaceTokenCount(col(textCol)).cast("long")
+    df.withColumn("n_grams", when(tc > 0L, tc * 2L - 1L).otherwise(0L))
+      .withColumn("log_w_micro",
+        HashedNgramRatioScore(col(textCol), nBuckets, salt, lrqMicro))
+  }
+
+  /** End-to-end: build both distributions, then score the corpus.
+    * `target` is the in-domain exemplar set (often a filtered slice of
+    * the corpus or a separate curated table). */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      nBuckets: Int = DefaultBuckets,
+      salt: String = DefaultSalt): DataFrame = {
+    val t = bucketCounts(target, textCol, nBuckets, salt)
+    val s = bucketCounts(corpus, textCol, nBuckets, salt)
+    score(corpus, textCol, logRatiosMicro(t, s), nBuckets, salt)
+  }
+}

@@ -69,6 +69,35 @@ class PlanSpec extends SparkTestBase {
       s"threshold predicate not pushed to the documents scan:\n$p")
   }
 
+  test("q61: the DSIR scoring stage is a codegen'd scan scalar (no UDF, no explode)") {
+    // the query's distribution passes run at plan-build time (bounded
+    // collects); the RETURNED plan is the scoring scan — no data-moving
+    // shuffle (the single RoundRobin exchange is Dedup.spread's
+    // intentional split of the one-file input), no explode, and the
+    // native score expression inside a codegen span (AQE-final plan,
+    // so execute first — see CLAUDE.md)
+    val df = SparkEntry.queries("q61_importance_weights")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("rangepartitioning"),
+      s"scoring scan must not hash/range shuffle:\n$p")
+    assert(!p.contains("Generate"), s"scoring must not explode grams:\n$p")
+    // codegen spans print as "*(n)" in the tree; the scoring Project
+    // must sit inside one
+    assert("""\*\(\d+\) Project \[.*hashedngramratioscore""".r.findFirstIn(p).isDefined,
+      s"scoring Project fell out of whole-stage codegen:\n$p")
+  }
+
+  test("q62: the packing prefix sum is hash-partitioned, never a single-partition window") {
+    val p = plan("q62_pack_bins")
+    assert(p.contains("Window"), s"expected the per-shard window pass:\n$p")
+    assert(p.contains("hashpartitioning(__shard"),
+      s"prefix sum must shard by the hash-derived key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"global-order window collapsed to one partition (the scale-killer " +
+        s"this operator exists to avoid):\n$p")
+  }
+
   test("q41: semi/anti execute as existence hash joins, never row-amplifying") {
     val p = plan("q41_semi_anti")
     assert(p.contains("LeftSemi"), s"expected a LeftSemi join:\n$p")
