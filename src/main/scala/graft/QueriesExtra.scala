@@ -1962,6 +1962,37 @@ object QueriesExtra {
       | (cum_tokens - 1) // 512 AS bin_last
       |FROM o""".stripMargin
 
+  // ------------------- DSIR Gumbel top-k resampling (q63)
+  /** The DSIR selection step ([[graft.pipeline.ImportanceWeights
+    * .resampleTopK]]): the 100 documents with the largest
+    * `log_w_micro + gumbel_micro`, where the Gumbel draw is the
+    * integer-quantized `-ln(-ln(u))` of the doc's content-independent
+    * u60 hash — same determinism doctrine as q61 (all-integer final
+    * scores, doc_id tie-break), so the selected set is exact. The
+    * oracle nests the q61 oracle as a subquery and replays the draw. */
+  def q63ImportanceResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val scored = graft.pipeline.ImportanceWeights.dsirWeights(
+      docs, docs.filter(col("lang") === "en"), "text")
+    graft.pipeline.ImportanceWeights.resampleTopK(scored, "doc_id", k = 100)
+      .select(col("doc_id"), col("log_w_micro"), col("gumbel_micro"),
+        col("score_micro"))
+  }
+
+  val q63Sql: String =
+    s"""SELECT doc_id, log_w_micro, gumbel_micro,
+      | log_w_micro + gumbel_micro AS score_micro
+      |FROM (
+      | SELECT doc_id, log_w_micro,
+      |  CAST(FLOOR(-LN(-LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |       || ':graft-dsir-gumbel'), 1, 15) AS BIGINT) + 0.5)
+      |       / 1152921504606846976)) * 1000000 + 0.5) AS BIGINT) AS gumbel_micro
+      | FROM ( ${q61Sql.replace("\n", "\n  ")} ) w
+      |) g
+      |ORDER BY score_micro DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -2009,7 +2040,8 @@ object QueriesExtra {
     "q59_quota_cap" -> (q59QuotaCap _),
     "q60_quantile_filter" -> (q60QuantileFilter _),
     "q61_importance_weights" -> (q61ImportanceWeights _),
-    "q62_pack_bins" -> (q62PackBins _))
+    "q62_pack_bins" -> (q62PackBins _),
+    "q63_importance_resample" -> (q63ImportanceResample _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -2058,5 +2090,6 @@ object QueriesExtra {
     "q59_quota_cap" -> q59Sql,
     "q60_quantile_filter" -> q60Sql,
     "q61_importance_weights" -> q61Sql,
-    "q62_pack_bins" -> q62Sql)
+    "q62_pack_bins" -> q62Sql,
+    "q63_importance_resample" -> q63Sql)
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashedNgramBuckets, HashedNgramRatioScore, WhitespaceTokenCount}
@@ -101,5 +101,72 @@ object ImportanceWeights {
     val t = bucketCounts(target, textCol, nBuckets, salt)
     val s = bucketCounts(corpus, textCol, nBuckets, salt)
     score(corpus, textCol, logRatiosMicro(t, s), nBuckets, salt)
+  }
+
+  val DefaultGumbelSalt = "graft-dsir-gumbel"
+
+  private val TwoPow60 = 1.152921504606846976e18 // 2^60, exact as a double
+
+  /** Integer-quantized standard Gumbel draw derived from the key hash:
+    * `floor(-ln(-ln((u60(key)+½)/2^60)) · 1e6 + ½)`. Content-independent
+    * and engine-independent — the same md5/u60 construction as
+    * [[MixtureSampler.u60]], so a SQL oracle replays the draw exactly
+    * (the two nested `ln`s run on identical IEEE doubles; quantization
+    * absorbs sub-micro library differences, same doctrine as the q61
+    * log-ratio quantization). */
+  def gumbelMicro(key: Column, salt: String = DefaultGumbelSalt): Column =
+    floor(-log(-log((MixtureSampler.u60(key, salt).cast("double") + lit(0.5))
+        / TwoPow60)) * 1e6 + lit(0.5)).cast("long")
+
+  /** DSIR's selection step (Xie et al. 2023 §2: sample-without-
+    * replacement via Gumbel top-k): keep the k documents with the
+    * largest `log_w_micro + gumbel_micro`. All-integer scores with the
+    * key as tie-break make the selected SET deterministic and
+    * SQL-replayable (q63).
+    *
+    * Physical shape: sort-limit compiles to TakeOrderedAndProject —
+    * a per-partition bounded heap plus one driver merge, never a global
+    * sort exchange (PlanSpec gates it). Driver memory is O(k): right
+    * for "select the top million of ten billion". For corpus-FRACTION
+    * selection at scale use [[resampleByQuantile]]. */
+  def resampleTopK(
+      scored: DataFrame,
+      keyCol: String,
+      k: Int,
+      salt: String = DefaultGumbelSalt): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    scored
+      .withColumn("gumbel_micro", gumbelMicro(col(keyCol), salt))
+      .withColumn("score_micro", col("log_w_micro") + col("gumbel_micro"))
+      .orderBy(col("score_micro").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /** Fraction variant for selections too large to rank through the
+    * driver: keep rows whose Gumbel-perturbed score clears the
+    * (1−fraction) GK quantile of the score distribution — one
+    * constant-memory aggregate collected as a single scalar, then a
+    * scan-local literal predicate (the q60 corpus-relative-threshold
+    * shape). Lands within the GK rank-error bound of `fraction`, not
+    * exactly on it; the exact-k path is [[resampleTopK]]. */
+  def resampleByQuantile(
+      scored: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      accuracy: Int = 10000,
+      salt: String = DefaultGumbelSalt): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0,1]: $fraction")
+    val withScore = scored
+      .withColumn("gumbel_micro", gumbelMicro(col(keyCol), salt))
+      .withColumn("score_micro", col("log_w_micro") + col("gumbel_micro"))
+    if (fraction >= 1.0) withScore
+    else {
+      val thr = withScore
+        .select(expr(
+          s"approx_percentile(score_micro, ${1.0 - fraction}, $accuracy)"))
+        .head().getLong(0)
+      withScore.filter(col("score_micro") > thr)
+    }
   }
 }

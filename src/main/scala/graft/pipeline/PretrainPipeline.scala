@@ -73,6 +73,18 @@ object PretrainPipeline {
     *                         over the exact-deduped corpus (the staged
     *                         table, so the extra pass re-scans stage
     *                         files, not the raw input).
+    * @param dsir            optional DSIR selection stage
+    *                         ([[ImportanceWeights]], Xie et al. 2023)
+    *                         over the cleaned survivors, before
+    *                         `mixture`: score each doc's hashed-n-gram
+    *                         bag against a target exemplar corpus and
+    *                         keep the Gumbel-top-k. Adds two bounded
+    *                         distribution passes that RE-SCAN the
+    *                         cleaned plan — set `stageDir` when
+    *                         enabling this so the re-scans read staged
+    *                         files, not recomputed shuffles. Output
+    *                         keeps `log_w_micro`/`gumbel_micro`/
+    *                         `score_micro` for audit.
     * @param mixture         optional FINAL stage: deterministic
     *                         stratified mixture sampling
     *                         ([[MixtureSampler.sample]]) of the cleaned
@@ -94,7 +106,18 @@ object PretrainPipeline {
       maxTopNgramFrac: Option[Double] = None,
       minRepetitionTokens: Int = 20,
       maxDupParaFrac: Option[Double] = None,
+      dsir: Option[Dsir] = None,
       mixture: Option[Mixture] = None)
+
+  /** DSIR selection stage config (see [[Config.dsir]]). `target` is
+    * the in-domain exemplar corpus (any DataFrame with the pipeline's
+    * text column — often a curated slice). */
+  case class Dsir(
+      target: DataFrame,
+      k: Int,
+      nBuckets: Int = ImportanceWeights.DefaultBuckets,
+      salt: String = ImportanceWeights.DefaultSalt,
+      gumbelSalt: String = ImportanceWeights.DefaultGumbelSalt)
 
   /** Mixture-sampling stage config (see [[Config.mixture]]). */
   case class Mixture(
@@ -203,10 +226,17 @@ object PretrainPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang_pred").isInCollection(cfg.langs.toSeq) &&
         col("quality") >= cfg.minQuality && repetitionGate)
+    val afterDsir = cfg.dsir match {
+      case Some(d) =>
+        val scored = ImportanceWeights.dsirWeights(
+          cleaned, d.target, textCol, d.nBuckets, d.salt)
+        ImportanceWeights.resampleTopK(scored, idCol, d.k, d.gumbelSalt)
+      case None => cleaned
+    }
     val out = cfg.mixture match {
       case Some(m) => MixtureSampler.sample(
-        cleaned, m.stratumCol, idCol, m.rates, m.defaultRate, m.salt)
-      case None => cleaned
+        afterDsir, m.stratumCol, idCol, m.rates, m.defaultRate, m.salt)
+      case None => afterDsir
     }
     (out, stageReused)
   }

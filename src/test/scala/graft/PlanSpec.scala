@@ -98,6 +98,18 @@ class PlanSpec extends SparkTestBase {
         s"this operator exists to avoid):\n$p")
   }
 
+  test("q63: Gumbel top-k compiles to TakeOrderedAndProject, never a global sort") {
+    // per-partition bounded heap + one driver merge of k rows — the
+    // selection must not range-shuffle the corpus for a full sort
+    val df = SparkEntry.queries("q63_importance_resample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the bounded top-k operator:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"top-k degraded to a global sort exchange:\n$p")
+  }
+
   test("q41: semi/anti execute as existence hash joins, never row-amplifying") {
     val p = plan("q41_semi_anti")
     assert(p.contains("LeftSemi"), s"expected a LeftSemi join:\n$p")
