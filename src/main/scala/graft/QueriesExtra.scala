@@ -1993,6 +1993,61 @@ object QueriesExtra {
       |ORDER BY score_micro DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  // ------------------- incremental dedup store (q64/q65)
+  /** Exact stage of the persisted incremental-dedup store
+    * ([[graft.dedup.DedupStore]]): the store holds the even-id half of
+    * the corpus; the odd-id half arrives as the increment. Survivors =
+    * odd docs that exactly match no store doc and are first (min id)
+    * among increment copies of the same normalized text — the daily-
+    * crawl-vs-historical shape with the store side probed as a bucketed
+    * scan (zero store-side shuffle, DedupStoreSpec plan gate). */
+  def q64StoreNewDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val store = graft.dedup.DedupStore.build(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      scratch("q64_store", dir))
+    graft.dedup.DedupStore.newDocs(
+        store, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
+  val q64Sql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |   md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS f
+      |  FROM documents),
+      | inc AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 1),
+      | first AS (SELECT f, MIN(doc_id) AS keep FROM inc GROUP BY f)
+      |SELECT i.doc_id, i.f AS fingerprint
+      |FROM inc i JOIN first k ON i.f = k.f AND i.doc_id = k.keep
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM fp s WHERE s.doc_id % 2 = 0 AND s.f = i.f)""".stripMargin
+
+  /** Near-dup stage of the incremental store: exact copies of the first
+    * 200 docs arrive as the increment and must each collide with their
+    * store original in every LSH band and agree on every signature row
+    * (sig_agreement exactly 1.0 — deterministic for identical text, the
+    * q22/q48 planted-copy doctrine). Output restricted to the planted
+    * relation so DuckDB computes the expected set exactly; mutated-copy
+    * recall is DedupSpec/DedupStoreSpec territory. */
+  def q65StoreNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val store = graft.dedup.DedupStore.build(
+      docs, "text", "doc_id", scratch("q65_store", dir))
+    val inc = docs.filter(col("doc_id") < 200)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    graft.dedup.DedupStore.nearDups(store, inc, "text", "doc_id",
+        threshold = 0.9)
+      .filter(col("store_id") === col("inc_id") - 100000L)
+      .select(col("inc_id"), col("store_id"),
+        round(col("sig_agreement"), 6).as("sig_agreement"))
+  }
+
+  val q65Sql: String =
+    """SELECT doc_id + 100000 AS inc_id, doc_id AS store_id,
+      | 1.0 AS sig_agreement
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -2041,7 +2096,9 @@ object QueriesExtra {
     "q60_quantile_filter" -> (q60QuantileFilter _),
     "q61_importance_weights" -> (q61ImportanceWeights _),
     "q62_pack_bins" -> (q62PackBins _),
-    "q63_importance_resample" -> (q63ImportanceResample _))
+    "q63_importance_resample" -> (q63ImportanceResample _),
+    "q64_store_newdocs" -> (q64StoreNewDocs _),
+    "q65_store_neardups" -> (q65StoreNearDups _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -2091,5 +2148,7 @@ object QueriesExtra {
     "q60_quantile_filter" -> q60Sql,
     "q61_importance_weights" -> q61Sql,
     "q62_pack_bins" -> q62Sql,
-    "q63_importance_resample" -> q63Sql)
+    "q63_importance_resample" -> q63Sql,
+    "q64_store_newdocs" -> q64Sql,
+    "q65_store_neardups" -> q65Sql)
 }

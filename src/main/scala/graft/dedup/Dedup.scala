@@ -174,6 +174,25 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
   }
 
+  /** LSH band rows (_id, _band, _bucket) from a signature table
+    * ((_id, _sig) as produced by [[minhashSignatures]]): each bucket is
+    * the hash of (band index, band slice of the signature) — `hash()`
+    * digests the array column natively (no JSON serialization). Shared
+    * verbatim by the one-shot [[minhashLsh]] path and the persisted
+    * [[DedupStore]] (build AND probe must band identically or
+    * increment-vs-store collisions silently vanish). */
+  private[dedup] def bandRows(
+      sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      hash(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    sig.select(
+      col("_id"),
+      posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
+  }
+
   /** Shingle sets keyed by id — the verification payload table. */
   private def shingleSets(
       df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
@@ -202,19 +221,8 @@ object Dedup {
       shingleWidth: Int = 3,
       threshold: Double = 0.8,
       maxBucket: Int = 128): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
     val base = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth)
-
-    // band buckets: hash of (band index, band slice of the signature) —
-    // hash() digests the array column natively (no JSON serialization)
-    val bandCols = (0 until bands).map { b =>
-      hash(lit(b), slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand))
-    }
-    val banded = base.select(
-      col("_id"),
-      posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
+    val banded = bandRows(base, numHashes, bands)
 
     val cand = bucketPairs(banded, Seq("_band", "_bucket"),
       struct(col("_id")), maxBucket)

@@ -1,0 +1,288 @@
+package graft.dedup
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Persisted incremental-dedup store — the daily-crawl-vs-historical-
+  * corpus shape: dedup each new increment against everything already
+  * accepted WITHOUT re-shuffling (or re-tokenizing) the historical
+  * corpus per increment.
+  *
+  * The reference pipeline dedups a corpus in one batch; at 10^12-doc
+  * scale the corpus is accumulated over months of crawls and the batch
+  * shape is unusable — re-running LSH over all of history for each
+  * daily increment re-pays the full-corpus shuffle every day. The store
+  * persists exactly the DIGESTS dedup needs, as bucketed tables:
+  *
+  *  - `fingerprints` — (fingerprint, keep_id), bucketed+sorted by
+  *    fingerprint: the exact-dedup membership set (~50 B/doc).
+  *  - `signatures` — (_id, _sig: array<long>), bucketed by _id: MinHash
+  *    signatures of every store doc (8·numHashes B/doc).
+  *  - `buckets` — (_band, _bucket, _id), bucketed+sorted by
+  *    (_band, _bucket): the LSH band index (12·bands B/doc).
+  *
+  * Scale design: the digest tables total a few hundred bytes/doc vs
+  * multi-KB of text — ~5% of corpus bytes — and because they are
+  * written as BUCKETED tables their probe joins need no store-side
+  * exchange ever: Spark scans the store pre-partitioned and shuffles
+  * only the increment (DedupStoreSpec gates zero store-side shuffle).
+  * Per-increment cost is therefore one columnar scan of the digests
+  * plus shuffles proportional to the INCREMENT, never to history.
+  * Store text is never re-read: near-dup verification estimates
+  * Jaccard from signature agreement (E[agreement] = J, σ² = J(1−J)/
+  * numHashes) instead of re-deriving shingle sets — the standard
+  * incremental tradeoff (exact verification would require persisting
+  * shingle sets, which IS the corpus). The one-shot exact-verified
+  * path remains [[Dedup.minhashLsh]].
+  *
+  * Catalog contract: bucketed joins resolve through the session
+  * catalog, which in this engine is in-memory — [[build]] registers the
+  * tables in the building session and [[attach]] re-registers them in a
+  * fresh session from the on-disk manifest (tables are EXTERNAL: drops
+  * and re-attaches never touch data files). Doc ids are longs and must
+  * be unique across store + increments (same contract as
+  * [[graft.similarity.IvfIndex]]).
+  */
+object DedupStore {
+
+  /** Store parameters, fixed at [[build]] time and persisted in the
+    * manifest — probes always use the persisted values (a probe banded
+    * differently than the build would silently miss every collision).
+    *
+    * `maxBucket` guards the build against degenerate LSH buckets
+    * (boilerplate text): store buckets with more members are dropped —
+    * their members are boilerplate the exact stage already collapses.
+    * Appends don't re-check grown buckets (documented drift; rebuild
+    * periodically if boilerplate accretes). */
+  case class Params(
+      numHashes: Int = 32,
+      bands: Int = 16,
+      shingleWidth: Int = 3,
+      nBuckets: Int = 16,
+      maxBucket: Int = 128)
+
+  /** Handle to an attached store: `dir` holds the data + manifest, the
+    * three table names are registered in `spark`'s catalog. */
+  case class Store(
+      spark: SparkSession,
+      dir: String,
+      params: Params,
+      fpTable: String,
+      sigTable: String,
+      bucketTable: String) {
+    def fingerprints: DataFrame = spark.table(fpTable)
+    def signatures: DataFrame = spark.table(sigTable)
+    def buckets: DataFrame = spark.table(bucketTable)
+  }
+
+  private def tableName(dir: String, which: String): String =
+    s"graft_ds_${dir.hashCode & 0x7fffffff}_$which"
+
+  private def bucketedWrite(
+      df: DataFrame,
+      dir: String,
+      which: String,
+      keyCols: Seq[String],
+      nBuckets: Int,
+      mode: String): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .option("path", s"$dir/$which")
+      .format("parquet")
+      .saveAsTable(tableName(dir, which))
+
+  /** Build (or rebuild, overwriting) a store at `dir` from the corpus.
+    * Signatures/buckets cover EVERY input row, not just exact-canonical
+    * ones — near-dup probes must see all accepted content; run
+    * [[Dedup.exact]] on the corpus first if it still carries exact
+    * duplicates. One pass for fingerprints (hash-shuffle on the 128-bit
+    * key), one explode+hash-agg pass for signatures, one banding pass;
+    * each lands pre-partitioned in its probe-join layout, so the build
+    * pays every probe's shuffle once. */
+  def build(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      dir: String,
+      params: Params = Params()): Store = {
+    val spark = df.sparkSession
+    Seq("fingerprints", "signatures", "buckets").foreach { w =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, w)}")
+    }
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+
+    bucketedWrite(
+      Dedup.exactGroups(df, textCol, idCol)
+        .select(col("fingerprint"), col("keep_id")),
+      dir, "fingerprints", Seq("fingerprint"), params.nBuckets, "overwrite")
+
+    val sig = Dedup.minhashSignatures(
+      df, textCol, idCol, params.numHashes, params.shingleWidth)
+    // signatures are consumed by an id-keyed candidate join; buckets by
+    // the (band, bucket) probe join — each bucketed on its own join key
+    bucketedWrite(sig, dir, "signatures", Seq("_id"), params.nBuckets,
+      "overwrite")
+    val banded = Dedup.bandRows(sig, params.numHashes, params.bands)
+    val guarded = banded
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("_band"), col("_bucket"))))
+      .filter(col("_n") <= params.maxBucket)
+      .drop("_n")
+    bucketedWrite(guarded, dir, "buckets", Seq("_band", "_bucket"),
+      params.nBuckets, "overwrite")
+
+    graft.materialize.Materializer.writeManifest(Paths.get(dir, "store.json"), Map(
+      "status" -> "complete",
+      "num_hashes" -> params.numHashes,
+      "bands" -> params.bands,
+      "shingle_width" -> params.shingleWidth,
+      "n_buckets" -> params.nBuckets,
+      "max_bucket" -> params.maxBucket))
+    attach(spark, dir)
+  }
+
+  /** Attach a persisted store in (possibly) a fresh session: reads the
+    * manifest and re-registers the three external bucketed tables with
+    * the EXACT bucket spec they were written with — without the
+    * CLUSTERED BY clause Spark would treat the files as unbucketed and
+    * silently shuffle the store on every probe. Idempotent when the
+    * tables are already registered. */
+  def attach(spark: SparkSession, dir: String): Store = {
+    val mpath = Paths.get(dir, "store.json")
+    require(Files.exists(mpath), s"no dedup store at $dir (missing store.json)")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(mpath))
+    require(m.path("status").asText() == "complete",
+      s"dedup store at $dir is incomplete (interrupted build) — rebuild it")
+    val params = Params(
+      numHashes = m.path("num_hashes").asInt(),
+      bands = m.path("bands").asInt(),
+      shingleWidth = m.path("shingle_width").asInt(),
+      nBuckets = m.path("n_buckets").asInt(),
+      maxBucket = m.path("max_bucket").asInt())
+
+    def register(which: String, schema: String, keys: String): Unit = {
+      val t = tableName(dir, which)
+      if (!spark.catalog.tableExists(t)) {
+        spark.sql(
+          s"""CREATE TABLE $t ($schema) USING PARQUET
+             |CLUSTERED BY ($keys) SORTED BY ($keys)
+             |INTO ${params.nBuckets} BUCKETS
+             |LOCATION '$dir/$which'""".stripMargin)
+      }
+    }
+    register("fingerprints", "fingerprint STRING, keep_id BIGINT",
+      "fingerprint")
+    register("signatures", "_id BIGINT, _sig ARRAY<BIGINT>", "_id")
+    register("buckets", "_id BIGINT, _band INT, _bucket INT",
+      "_band, _bucket")
+    Store(spark, dir, params,
+      tableName(dir, "fingerprints"),
+      tableName(dir, "signatures"),
+      tableName(dir, "buckets"))
+  }
+
+  /** Exact stage: increment rows that are NEW — not an exact duplicate
+    * of any store doc, nor of an earlier (min-id) increment row with the
+    * same normalized fingerprint. Output = increment columns plus
+    * `fingerprint`. The store side is a bucketed scan anti-joined
+    * without an exchange; the increment pays ONE fingerprint shuffle —
+    * the anti-join runs first and the intra-increment window rides its
+    * output partitioning (anti-join output is clustered by fingerprint,
+    * so the window adds a sort but no second exchange). */
+  def newDocs(
+      store: Store,
+      increment: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol).asc)
+    increment
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .join(store.fingerprints.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Near-dup stage: (inc_id, store_id, sig_agreement) for every
+    * increment doc that shares an LSH band bucket with a store doc and
+    * whose signatures agree on ≥ `threshold` of the minhash rows
+    * (agreement estimates Jaccard unbiasedly; exact copies agree on
+    * every row, so threshold semantics are deterministic for them).
+    * The band probe and the store-signature fetch both run against
+    * bucketed store scans — the only shuffles are increment-sized. */
+  def nearDups(
+      store: Store,
+      increment: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val p = store.params
+    val sig = Dedup.minhashSignatures(
+      increment, textCol, idCol, p.numHashes, p.shingleWidth)
+    val cand = Dedup.bandRows(sig, p.numHashes, p.bands)
+      .join(store.buckets.select(
+          col("_band"), col("_bucket"), col("_id").as("store_id")),
+        Seq("_band", "_bucket"))
+      .select(col("_id").as("inc_id"), col("store_id"))
+      .dropDuplicates("inc_id", "store_id")
+    cand
+      .join(sig.select(col("_id").as("inc_id"), col("_sig").as("_sig_a")),
+        Seq("inc_id"))
+      .join(store.signatures.select(
+          col("_id").as("store_id"), col("_sig").as("_sig_b")),
+        Seq("store_id"))
+      .withColumn("sig_agreement",
+        aggregate(
+          zip_with(col("_sig_a"), col("_sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / p.numHashes)
+      .filter(col("sig_agreement") >= threshold)
+      .select(col("inc_id"), col("store_id"), col("sig_agreement"))
+  }
+
+  /** Accept an increment into the store: append its fingerprints,
+    * signatures, and band rows in the tables' existing bucket layout
+    * (bucketed appends co-partition with the original files, so probe
+    * joins stay exchange-free). Callers append the SURVIVORS of their
+    * own gating ([[newDocs]] / [[nearDups]]); appended fingerprints that
+    * collide with existing ones are harmless for membership semantics
+    * (`keep_id` is advisory after appends). */
+  def append(
+      store: Store,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String): Unit = {
+    val p = store.params
+    // `docs` is usually DERIVED from a store probe (the survivors of
+    // newDocs/nearDups) — a lazy plan that re-reads the store tables.
+    // Each bucketed write below would re-execute it, and after the
+    // first write the re-execution observes the half-appended store
+    // (the survivors anti-join against their own just-appended
+    // fingerprints and vanish). Snapshot the increment eagerly so all
+    // three digest writes read one consistent, increment-sized input.
+    val snap = docs.select(col(idCol), col(textCol)).localCheckpoint()
+    try {
+      bucketedWrite(
+        Dedup.exactGroups(snap, textCol, idCol)
+          .select(col("fingerprint"), col("keep_id")),
+        store.dir, "fingerprints", Seq("fingerprint"), p.nBuckets, "append")
+      val sig = Dedup.minhashSignatures(
+        snap, textCol, idCol, p.numHashes, p.shingleWidth)
+      bucketedWrite(sig, store.dir, "signatures", Seq("_id"), p.nBuckets,
+        "append")
+      bucketedWrite(Dedup.bandRows(sig, p.numHashes, p.bands),
+        store.dir, "buckets", Seq("_band", "_bucket"), p.nBuckets, "append")
+    } finally {
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft.dedup
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.text.TextAnalysis
+
+class DedupStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_dsspec_$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  // deterministic namespaced docs: doc i = 12 tokens w<i*100+j>; docs are
+  // pairwise disjoint unless constructed as copies
+  private def doc(i: Long): String =
+    (0 until 12).map(j => s"w${i * 100 + j}").mkString(" ")
+
+  test("newDocs drops exact dups against the store AND within the increment") {
+    val store = (0L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val st = DedupStore.build(store, "text", "doc_id", tmpDir("new"))
+    // increment: 10 fresh docs, 5 copies of store docs, one intra-inc dup pair
+    val inc = ((100L until 110L).map(i => (i, doc(i))) ++
+      (0L until 5L).map(i => (200L + i, doc(i))) ++
+      Seq((300L, doc(100L)))).toDF("doc_id", "text")
+    val got = DedupStore.newDocs(st, inc, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === (100L until 110L).toSet) // 300 loses to 100 within the increment
+  }
+
+  test("nearDups: exact copies agree on every signature row; disjoint docs never pair") {
+    val store = (0L until 30L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val st = DedupStore.build(store, "text", "doc_id", tmpDir("near"))
+    val inc = ((0L until 10L).map(i => (1000L + i, doc(i))) ++ // planted copies
+      (50L until 60L).map(i => (1000L + i, doc(i)))) // disjoint fresh docs
+      .toDF("doc_id", "text")
+    val pairs = DedupStore.nearDups(st, inc, "text", "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map { case (a, b, _) => (a, b) }.toSet ===
+      (0L until 10L).map(i => (i, 1000L + i)).map(_.swap).toSet)
+    assert(pairs.forall(_._3 === 1.0))
+  }
+
+  test("attach re-registers external tables in a fresh catalog; drops never touch data") {
+    val dir = tmpDir("attach")
+    val store = (0L until 25L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val st = DedupStore.build(store, "text", "doc_id", dir)
+    val inc = Seq((500L, doc(3L)), (501L, doc(777L))).toDF("doc_id", "text")
+    val before = DedupStore.newDocs(st, inc, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+
+    // simulate a fresh session: the in-memory catalog forgets the tables
+    Seq(st.fpTable, st.sigTable, st.bucketTable)
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+    val re = DedupStore.attach(spark, dir)
+    assert(re.params === st.params)
+    val after = DedupStore.newDocs(re, inc, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after === before && after === Set(501L))
+    val np = DedupStore.nearDups(re, inc, "text", "doc_id", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(np === Seq((3L, 500L, 1.0)).map { case (s0, i0, a) => (i0, s0, a) })
+  }
+
+  test("append grows the store: accepted docs are store members for the next increment") {
+    val dir = tmpDir("append")
+    val st = DedupStore.build(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "text", "doc_id", dir)
+    val day1 = (100L until 105L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val accepted = DedupStore.newDocs(st, day1, "text", "doc_id")
+    assert(accepted.count() === 5)
+    DedupStore.append(st, accepted.select("doc_id", "text"), "text", "doc_id")
+
+    val day2 = Seq((200L, doc(101L)), (201L, doc(300L))).toDF("doc_id", "text")
+    assert(DedupStore.newDocs(st, day2, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet === Set(201L))
+    assert(DedupStore.nearDups(st, day2, "text", "doc_id", 0.9)
+      .select("store_id").as[Long].collect().toSet === Set(101L))
+  }
+
+  test("plan gate: probes NEVER shuffle the store side — only increment-sized exchanges") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = tmpDir("plan")
+      val st = DedupStore.build(
+        (0L until 50L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+        "text", "doc_id", dir)
+      val inc = (500L until 520L).map(i => (i, doc(i))).toDF("doc_id", "text")
+
+      // a store scan is "shuffled" if an exchange sits between it and
+      // its NEAREST join ancestor — shuffles of post-join (candidate-
+      // sized) data that merely contain the scan deeper in their
+      // subtree are the increment paying its own way, which is fine
+      def storeShuffled(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        df.collect()
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.joins.{BaseJoinExec => J}
+        def walk(p: SparkPlan, ancestors: List[SparkPlan]): Seq[String] =
+          p match {
+            case f: FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains(dir)) =>
+              val toJoin = ancestors.takeWhile(!_.isInstanceOf[J])
+              if (toJoin.exists(_.isInstanceOf[ShuffleExchangeExec]))
+                Seq(f.nodeName)
+              else Nil
+            case other => other.children.flatMap(c => walk(c, other :: ancestors))
+          }
+        walk(df.queryExecution.executedPlan, Nil)
+      }
+      val anti = DedupStore.newDocs(st, inc, "text", "doc_id")
+      assert(storeShuffled(anti).isEmpty,
+        s"store scan under a shuffle in newDocs:\n${anti.queryExecution.executedPlan}")
+      // exactly ONE exchange total: the increment's fingerprint shuffle
+      // feeds both the anti-join and the intra-increment window
+      val exchanges = anti.queryExecution.executedPlan.collect {
+        case sh: ShuffleExchangeExec => sh
+      }
+      assert(exchanges.size === 1,
+        s"expected one increment-side exchange:\n${anti.queryExecution.executedPlan}")
+
+      val near = DedupStore.nearDups(st, inc, "text", "doc_id", 0.9)
+      assert(storeShuffled(near).isEmpty,
+        s"store scan under a shuffle in nearDups:\n${near.queryExecution.executedPlan}")
+      // and the store scans really are bucketed scans
+      val storeScans = near.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f
+      }
+      assert(storeScans.nonEmpty && storeScans.forall(_.bucketedScan),
+        s"expected bucketed store scans:\n${near.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
+  test("maxBucket guard drops degenerate boilerplate buckets at build time") {
+    // 40 identical docs -> every band bucket has 40 members > maxBucket=8;
+    // plus 5 distinct docs that must keep their buckets
+    val rows = (0L until 40L).map(i => (i, doc(999L))) ++
+      (100L until 105L).map(i => (i, doc(i)))
+    val st = DedupStore.build(rows.toDF("doc_id", "text"), "text", "doc_id",
+      tmpDir("guard"), DedupStore.Params(maxBucket = 8))
+    val boiler = st.buckets.filter(col("_id") < 40L).count()
+    assert(boiler === 0, s"boilerplate buckets must be dropped, found $boiler")
+    assert(st.buckets.filter(col("_id") >= 100L).count() ===
+      5L * st.params.bands)
+    // the exact stage still collapses the boilerplate
+    val inc = Seq((500L, doc(999L))).toDF("doc_id", "text")
+    assert(DedupStore.newDocs(st, inc, "text", "doc_id").count() === 0)
+  }
+
+  test("fingerprint parity: store membership uses the engine-wide normalized fingerprint") {
+    val st = DedupStore.build(
+      Seq((1L, "The  Cat sat")).toDF("doc_id", "text"),
+      "text", "doc_id", tmpDir("fp"))
+    val fp = Seq((1L, "the cat SAT  ")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    assert(st.fingerprints.select("fingerprint").as[String].collect().toSeq
+      === Seq(fp))
+  }
+}
