@@ -2048,6 +2048,60 @@ object QueriesExtra {
       | 1.0 AS sig_agreement
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** Streaming ingestion against the persisted store
+    * ([[graft.dedup.DedupStore.ingest]]): the store seeds with 100
+    * namespaced-token docs, then two forced micro-batches arrive —
+    * batch 1 carries 50 copies of store docs + 50 fresh, batch 2
+    * carries 50 copies of BATCH 1's fresh survivors + 50 fresh. The
+    * sink must hold exactly the 100 fresh docs: batch-2 copies dying
+    * proves the store append IS the cross-batch state (q49 doctrine:
+    * batch boundaries forced so the gate tests committed state, not
+    * intra-batch order; all texts are disjoint token namespaces DuckDB
+    * reconstructs by arithmetic). */
+  def q66StoreIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tx(src: Long): String =
+      (1 to 30).map(j => s"v${src * 100 + j}").mkString(" ")
+    val storeDocs = (0L until 100L).map(i => (i, tx(i)))
+    val store = graft.dedup.DedupStore.build(
+      storeDocs.toDF("doc_id", "text"), "text", "doc_id",
+      scratch("q66_store", dir))
+    val batch1 = (0L until 100L).map(i =>
+      (1000L + i, tx(if (i < 50) i else 100L + i)))
+    val batch2 = (0L until 100L).map(i =>
+      (2000L + i, tx(if (i < 50) 150L + i else 300L + i)))
+
+    val sink = scratch("q66_sink", dir)
+    val ckpt = scratch("q66_ckpt", dir)
+    Seq(sink, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](s)
+    val q = graft.dedup.DedupStore.ingest(
+      store, input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      sink, ckpt)
+    try {
+      input.addData(batch1)
+      q.processAllAvailable() // commit batch 1 before its copies arrive
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(sink).select(col("doc_id"), col("text"))
+  }
+
+  val q66Sql: String =
+    """WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 50),
+      | src AS (
+      |  SELECT 1050 + i AS doc_id, 150 + i AS s FROM d
+      |  UNION ALL
+      |  SELECT 2050 + i AS doc_id, 350 + i AS s FROM d)
+      |SELECT doc_id,
+      | array_to_string(list_transform(range(1, 31),
+      |   j -> 'v' || CAST(s * 100 + j AS VARCHAR)), ' ') AS text
+      |FROM src""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -2098,7 +2152,8 @@ object QueriesExtra {
     "q62_pack_bins" -> (q62PackBins _),
     "q63_importance_resample" -> (q63ImportanceResample _),
     "q64_store_newdocs" -> (q64StoreNewDocs _),
-    "q65_store_neardups" -> (q65StoreNearDups _))
+    "q65_store_neardups" -> (q65StoreNearDups _),
+    "q66_store_ingest" -> (q66StoreIngest _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -2150,5 +2205,6 @@ object QueriesExtra {
     "q62_pack_bins" -> q62Sql,
     "q63_importance_resample" -> q63Sql,
     "q64_store_newdocs" -> q64Sql,
-    "q65_store_neardups" -> q65Sql)
+    "q65_store_neardups" -> q65Sql,
+    "q66_store_ingest" -> q66Sql)
 }

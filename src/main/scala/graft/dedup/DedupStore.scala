@@ -256,6 +256,47 @@ object DedupStore {
     * own gating ([[newDocs]] / [[nearDups]]); appended fingerprints that
     * collide with existing ones are harmless for membership semantics
     * (`keep_id` is advisory after appends). */
+  /** Continuous-crawl ingestion: a Structured Streaming loop that, per
+    * micro-batch, keeps only docs that are new vs the store AND the
+    * batch ([[newDocs]]), writes the survivors to `sinkDir` (parquet,
+    * append), and [[append]]s them to the store — so a duplicate
+    * arriving in a LATER batch is dropped against the survivors of
+    * earlier ones. The store IS the cross-batch state: watermark-free,
+    * unbounded-horizon dedup (engine state stores bound their horizon
+    * by watermark; the store is the full accepted history at ~5% of
+    * corpus bytes, exactly the streaming analog of the daily batch
+    * probe).
+    *
+    * Delivery contract: at-least-once on failure replay. A re-run
+    * batch re-probes the store — rows whose fingerprints were already
+    * appended are dropped, so the store stays consistent and the sink
+    * can only duplicate rows of the one interrupted batch (dedup by id
+    * downstream, or re-run [[exactGroups]]-style collapse on read).
+    * Survivors are snapshotted once per batch so the sink write and
+    * the store append read one consistent result. */
+  def ingest(
+      store: Store,
+      stream: DataFrame,
+      textCol: String,
+      idCol: String,
+      sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      val survivors = newDocs(store, batch, textCol, idCol)
+        .drop("fingerprint").localCheckpoint()
+      try {
+        survivors.write.mode("append").parquet(sinkDir)
+        append(store, survivors, textCol, idCol)
+      } finally {
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(survivors)
+      }
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(perBatch)
+      .start()
+  }
+
   def append(
       store: Store,
       docs: DataFrame,
@@ -281,6 +322,15 @@ object DedupStore {
         "append")
       bucketedWrite(Dedup.bandRows(sig, p.numHashes, p.bands),
         store.dir, "buckets", Seq("_band", "_bucket"), p.nBuckets, "append")
+      // the insert commands invalidate the relation cache of the
+      // session that WROTE (docs.sparkSession) — which under
+      // foreachBatch is Structured Streaming's session CLONE, not the
+      // session probes read through. Refresh the store's session
+      // explicitly or the next probe anti-joins a stale FileIndex and
+      // re-accepts what this append just admitted (caught live by the
+      // ingest spec).
+      Seq("fingerprints", "signatures", "buckets")
+        .foreach(w => store.spark.catalog.refreshTable(tableName(store.dir, w)))
     } finally {
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
     }

@@ -159,6 +159,34 @@ class DedupStoreSpec extends SparkTestBase {
     assert(DedupStore.newDocs(st, inc, "text", "doc_id").count() === 0)
   }
 
+  test("ingest: the store is the cross-batch state — later-batch dups of earlier survivors die") {
+    val st = DedupStore.build(
+      (0L until 15L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "text", "doc_id", tmpDir("ing"))
+    val sink = tmpDir("ing_sink") + "/out"
+    val ckpt = tmpDir("ing_ckpt") + "/cp"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = DedupStore.ingest(st, input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", sink, ckpt)
+    try {
+      // batch 1: one store dup, two fresh
+      input.addData(Seq((100L, doc(3L)), (101L, doc(50L)), (102L, doc(51L))))
+      q.processAllAvailable()
+      // batch 2: a copy of batch 1's survivor + one fresh — the copy
+      // must die against the APPENDED store, not any engine state
+      input.addData(Seq((200L, doc(50L)), (201L, doc(60L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(101L, 102L, 201L))
+    // and the store now knows all three survivors
+    assert(DedupStore.newDocs(st,
+        Seq((300L, doc(60L))).toDF("doc_id", "text"), "text", "doc_id")
+      .count() === 0)
+  }
+
   test("fingerprint parity: store membership uses the engine-wide normalized fingerprint") {
     val st = DedupStore.build(
       Seq((1L, "The  Cat sat")).toDF("doc_id", "text"),
