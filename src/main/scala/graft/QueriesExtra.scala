@@ -2005,7 +2005,8 @@ object QueriesExtra {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val store = graft.dedup.DedupStore.build(
       docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
-      scratch("q64_store", dir))
+      scratch("q64_store", dir),
+      graft.dedup.DedupStore.Params(nearDup = false)) // exact-only store
     graft.dedup.DedupStore.newDocs(
         store, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
       .select(col("doc_id"), col("fingerprint"))
@@ -2065,7 +2066,8 @@ object QueriesExtra {
     val storeDocs = (0L until 100L).map(i => (i, tx(i)))
     val store = graft.dedup.DedupStore.build(
       storeDocs.toDF("doc_id", "text"), "text", "doc_id",
-      scratch("q66_store", dir))
+      scratch("q66_store", dir),
+      graft.dedup.DedupStore.Params(nearDup = false)) // exact-gated ingest
     val batch1 = (0L until 100L).map(i =>
       (1000L + i, tx(if (i < 50) i else 100L + i)))
     val batch2 = (0L until 100L).map(i =>

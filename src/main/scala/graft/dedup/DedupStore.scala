@@ -58,13 +58,19 @@ object DedupStore {
     * (boilerplate text): store buckets with more members are dropped —
     * their members are boilerplate the exact stage already collapses.
     * Appends don't re-check grown buckets (documented drift; rebuild
-    * periodically if boilerplate accretes). */
+    * periodically if boilerplate accretes).
+    *
+    * `nearDup = false` builds an EXACT-ONLY store (fingerprints, no
+    * signatures/band index): a third of the digest bytes and build
+    * passes for pipelines that only gate on exact duplicates —
+    * [[nearDups]] on such a store fails loudly. */
   case class Params(
       numHashes: Int = 32,
       bands: Int = 16,
       shingleWidth: Int = 3,
       nBuckets: Int = 16,
-      maxBucket: Int = 128)
+      maxBucket: Int = 128,
+      nearDup: Boolean = true)
 
   /** Handle to an attached store: `dir` holds the data + manifest, the
     * three table names are registered in `spark`'s catalog. */
@@ -83,6 +89,13 @@ object DedupStore {
   private def tableName(dir: String, which: String): String =
     s"graft_ds_${dir.hashCode & 0x7fffffff}_$which"
 
+  /** Bucketed write with a bounded file count: bucket id and
+    * `HashPartitioning` both compute `murmur3(keys) pmod n`, so
+    * repartitioning to exactly nBuckets on the bucket keys puts each
+    * bucket wholly in one task — nBuckets files per write instead of
+    * (tasks × buckets-per-task) small files. Write parallelism equals
+    * nBuckets; size `Params.nBuckets` to the cluster (thousands at
+    * 10^12 docs), not to the default 16. */
   private def bucketedWrite(
       df: DataFrame,
       dir: String,
@@ -90,7 +103,8 @@ object DedupStore {
       keyCols: Seq[String],
       nBuckets: Int,
       mode: String): Unit =
-    df.write.mode(mode)
+    df.repartition(nBuckets, keyCols.map(col): _*)
+      .write.mode(mode)
       .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .option("path", s"$dir/$which")
@@ -123,20 +137,22 @@ object DedupStore {
         .select(col("fingerprint"), col("keep_id")),
       dir, "fingerprints", Seq("fingerprint"), params.nBuckets, "overwrite")
 
-    val sig = Dedup.minhashSignatures(
-      df, textCol, idCol, params.numHashes, params.shingleWidth)
-    // signatures are consumed by an id-keyed candidate join; buckets by
-    // the (band, bucket) probe join — each bucketed on its own join key
-    bucketedWrite(sig, dir, "signatures", Seq("_id"), params.nBuckets,
-      "overwrite")
-    val banded = Dedup.bandRows(sig, params.numHashes, params.bands)
-    val guarded = banded
-      .withColumn("_n",
-        count(lit(1)).over(Window.partitionBy(col("_band"), col("_bucket"))))
-      .filter(col("_n") <= params.maxBucket)
-      .drop("_n")
-    bucketedWrite(guarded, dir, "buckets", Seq("_band", "_bucket"),
-      params.nBuckets, "overwrite")
+    if (params.nearDup) {
+      val sig = Dedup.minhashSignatures(
+        df, textCol, idCol, params.numHashes, params.shingleWidth)
+      // signatures are consumed by an id-keyed candidate join; buckets
+      // by the (band, bucket) probe join — each bucketed on its own key
+      bucketedWrite(sig, dir, "signatures", Seq("_id"), params.nBuckets,
+        "overwrite")
+      val banded = Dedup.bandRows(sig, params.numHashes, params.bands)
+      val guarded = banded
+        .withColumn("_n",
+          count(lit(1)).over(Window.partitionBy(col("_band"), col("_bucket"))))
+        .filter(col("_n") <= params.maxBucket)
+        .drop("_n")
+      bucketedWrite(guarded, dir, "buckets", Seq("_band", "_bucket"),
+        params.nBuckets, "overwrite")
+    }
 
     graft.materialize.Materializer.writeManifest(Paths.get(dir, "store.json"), Map(
       "status" -> "complete",
@@ -144,7 +160,8 @@ object DedupStore {
       "bands" -> params.bands,
       "shingle_width" -> params.shingleWidth,
       "n_buckets" -> params.nBuckets,
-      "max_bucket" -> params.maxBucket))
+      "max_bucket" -> params.maxBucket,
+      "near_dup" -> params.nearDup))
     attach(spark, dir)
   }
 
@@ -166,7 +183,8 @@ object DedupStore {
       bands = m.path("bands").asInt(),
       shingleWidth = m.path("shingle_width").asInt(),
       nBuckets = m.path("n_buckets").asInt(),
-      maxBucket = m.path("max_bucket").asInt())
+      maxBucket = m.path("max_bucket").asInt(),
+      nearDup = !m.has("near_dup") || m.path("near_dup").asBoolean())
 
     def register(which: String, schema: String, keys: String): Unit = {
       val t = tableName(dir, which)
@@ -180,9 +198,11 @@ object DedupStore {
     }
     register("fingerprints", "fingerprint STRING, keep_id BIGINT",
       "fingerprint")
-    register("signatures", "_id BIGINT, _sig ARRAY<BIGINT>", "_id")
-    register("buckets", "_id BIGINT, _band INT, _bucket INT",
-      "_band, _bucket")
+    if (params.nearDup) {
+      register("signatures", "_id BIGINT, _sig ARRAY<BIGINT>", "_id")
+      register("buckets", "_id BIGINT, _band INT, _bucket INT",
+        "_band, _bucket")
+    }
     Store(spark, dir, params,
       tableName(dir, "fingerprints"),
       tableName(dir, "signatures"),
@@ -226,6 +246,9 @@ object DedupStore {
       idCol: String,
       threshold: Double = 0.9): DataFrame = {
     val p = store.params
+    require(p.nearDup,
+      s"store at ${store.dir} was built exact-only (Params.nearDup=false) " +
+        "— it has no signature/band index; rebuild with nearDup=true")
     val sig = Dedup.minhashSignatures(
       increment, textCol, idCol, p.numHashes, p.shingleWidth)
     val cand = Dedup.bandRows(sig, p.numHashes, p.bands)
@@ -316,12 +339,14 @@ object DedupStore {
         Dedup.exactGroups(snap, textCol, idCol)
           .select(col("fingerprint"), col("keep_id")),
         store.dir, "fingerprints", Seq("fingerprint"), p.nBuckets, "append")
-      val sig = Dedup.minhashSignatures(
-        snap, textCol, idCol, p.numHashes, p.shingleWidth)
-      bucketedWrite(sig, store.dir, "signatures", Seq("_id"), p.nBuckets,
-        "append")
-      bucketedWrite(Dedup.bandRows(sig, p.numHashes, p.bands),
-        store.dir, "buckets", Seq("_band", "_bucket"), p.nBuckets, "append")
+      if (p.nearDup) {
+        val sig = Dedup.minhashSignatures(
+          snap, textCol, idCol, p.numHashes, p.shingleWidth)
+        bucketedWrite(sig, store.dir, "signatures", Seq("_id"), p.nBuckets,
+          "append")
+        bucketedWrite(Dedup.bandRows(sig, p.numHashes, p.bands),
+          store.dir, "buckets", Seq("_band", "_bucket"), p.nBuckets, "append")
+      }
       // the insert commands invalidate the relation cache of the
       // session that WROTE (docs.sparkSession) — which under
       // foreachBatch is Structured Streaming's session CLONE, not the
@@ -329,7 +354,8 @@ object DedupStore {
       // explicitly or the next probe anti-joins a stale FileIndex and
       // re-accepts what this append just admitted (caught live by the
       // ingest spec).
-      Seq("fingerprints", "signatures", "buckets")
+      (Seq("fingerprints") ++
+        (if (p.nearDup) Seq("signatures", "buckets") else Nil))
         .foreach(w => store.spark.catalog.refreshTable(tableName(store.dir, w)))
     } finally {
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)

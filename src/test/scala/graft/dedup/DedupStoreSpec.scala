@@ -46,6 +46,31 @@ class DedupStoreSpec extends SparkTestBase {
     assert(pairs.forall(_._3 === 1.0))
   }
 
+  test("nearDups recall on near-threshold MUTATED copies (drop-last-2 words, J=0.947)") {
+    // 40-token docs -> 38 shingles; dropping 2 words leaves 36 nested
+    // grams: true J = 36/38 ≈ 0.947. Banding miss prob at 16×2 bands is
+    // (1-J²)^16 ≈ 1e-16, and P(signature agreement < 0.6) is ~1e-9 per
+    // pair — so at threshold 0.6 ALL 100 planted pairs must surface
+    // (deterministic: hashes are seeded). At 0.9 the agreement estimate
+    // (E=J, σ=0.04) straddles the cut; assert the deterministic count
+    // stays in the binomial bulk rather than collapsing (the r4
+    // finalizer bug mode: near-threshold pairs missing en masse).
+    def longDoc(i: Long): String =
+      (0 until 40).map(j => s"m${i * 100 + j}").mkString(" ")
+    val store = (0L until 100L).map(i => (i, longDoc(i))).toDF("doc_id", "text")
+    val st = DedupStore.build(store, "text", "doc_id", tmpDir("mut"))
+    val inc = (0L until 100L).map { i =>
+      (5000L + i, longDoc(i).split(" ").dropRight(2).mkString(" "))
+    }.toDF("doc_id", "text")
+    val loose = DedupStore.nearDups(st, inc, "text", "doc_id", 0.6)
+      .filter(col("store_id") === col("inc_id") - 5000L).count()
+    assert(loose === 100L, s"J=0.947 pairs must all clear threshold 0.6, got $loose")
+    val tight = DedupStore.nearDups(st, inc, "text", "doc_id", 0.9)
+      .filter(col("store_id") === col("inc_id") - 5000L).count()
+    assert(tight >= 75L && tight <= 100L,
+      s"agreement estimates collapsed on near-threshold pairs: $tight/100 at 0.9")
+  }
+
   test("attach re-registers external tables in a fresh catalog; drops never touch data") {
     val dir = tmpDir("attach")
     val store = (0L until 25L).map(i => (i, doc(i))).toDF("doc_id", "text")
@@ -185,6 +210,28 @@ class DedupStoreSpec extends SparkTestBase {
     assert(DedupStore.newDocs(st,
         Seq((300L, doc(60L))).toDF("doc_id", "text"), "text", "doc_id")
       .count() === 0)
+  }
+
+  test("exact-only store: no signature tables, nearDups refuses loudly, attach round-trips the flag") {
+    val dir = tmpDir("exonly")
+    val st = DedupStore.build(
+      (0L until 10L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "text", "doc_id", dir, DedupStore.Params(nearDup = false))
+    assert(!new java.io.File(s"$dir/signatures").exists())
+    val inc = Seq((100L, doc(3L)), (101L, doc(50L))).toDF("doc_id", "text")
+    assert(DedupStore.newDocs(st, inc, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet === Set(101L))
+    DedupStore.append(st, Seq((101L, doc(50L))).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(DedupStore.newDocs(st,
+        Seq((200L, doc(50L))).toDF("doc_id", "text"), "text", "doc_id")
+      .count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.nearDups(st, inc, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("exact-only"))
+    spark.sql(s"DROP TABLE ${st.fpTable}")
+    assert(DedupStore.attach(spark, dir).params.nearDup === false)
   }
 
   test("fingerprint parity: store membership uses the engine-wide normalized fingerprint") {
