@@ -47,6 +47,15 @@ import graft.text.TextAnalysis
   * and re-attaches never touch data files). Doc ids are longs and must
   * be unique across store + increments (same contract as
   * [[graft.similarity.IvfIndex]]).
+  *
+  * SINGLE-WRITER contract (same as [[graft.materialize.Materializer]]'s
+  * managed-sink contract): one [[build]]/[[append]]/[[ingest]] writer
+  * per store directory at a time. Concurrent appends would interleave
+  * metastore inserts and, worse, each would probe a snapshot that
+  * misses the other's in-flight admissions — both could accept the
+  * same text. Readers ([[newDocs]]/[[nearDups]] in other sessions) are
+  * safe concurrently; they observe the store as of their last
+  * [[attach]]/refresh.
   */
 object DedupStore {
 
