@@ -288,6 +288,61 @@ object DedupStore {
     * own gating ([[newDocs]] / [[nearDups]]); appended fingerprints that
     * collide with existing ones are harmless for membership semantics
     * (`keep_id` is advisory after appends). */
+  /** Compact a store in place. Every [[append]] adds nBuckets files
+    * per table and can (a) accumulate duplicate fingerprint keys
+    * (membership-harmless but scan-wasteful), (b) re-add ids on
+    * at-least-once replay, and (c) grow band buckets past `maxBucket`
+    * (the documented append drift). Compaction rewrites each digest
+    * table into a fresh nBuckets-file bucketed layout — duplicate
+    * fingerprints collapse to min keep_id, replayed ids dedup, and the
+    * maxBucket guard is re-applied — then swaps directories
+    * (old → `_old_*` → delete, so a crash mid-swap leaves one of the
+    * two copies on disk for manual recovery; the swap itself is two
+    * renames, not atomic). Single-writer: run in the writer's slot. */
+  def compact(store: Store): Store = {
+    val spark = store.spark
+    val p = store.params
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def swap(which: String, df: DataFrame, keys: Seq[String]): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(store.dir).getFileSystem(conf)
+      def pth(s: String) = new org.apache.hadoop.fs.Path(s"${store.dir}/$s")
+      val tmpTable = tableName(store.dir, s"${which}_compact")
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      fs.delete(pth(s"_compact_$which"), true)
+      df.repartition(p.nBuckets, keys.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(p.nBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("path", s"${store.dir}/_compact_$which")
+        .format("parquet")
+        .saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(store.dir, which)}")
+      fs.delete(pth(s"_old_$which"), true)
+      require(fs.rename(pth(which), pth(s"_old_$which")) &&
+          fs.rename(pth(s"_compact_$which"), pth(which)),
+        s"compact: directory swap failed for $which under ${store.dir}")
+      fs.delete(pth(s"_old_$which"), true)
+    }
+
+    swap("fingerprints",
+      store.fingerprints.groupBy(col("fingerprint"))
+        .agg(min(col("keep_id")).as("keep_id")),
+      Seq("fingerprint"))
+    if (p.nearDup) {
+      swap("signatures", store.signatures.dropDuplicates("_id"), Seq("_id"))
+      swap("buckets",
+        store.buckets.dropDuplicates("_id", "_band", "_bucket")
+          .withColumn("_n", count(lit(1))
+            .over(Window.partitionBy(col("_band"), col("_bucket"))))
+          .filter(col("_n") <= p.maxBucket)
+          .drop("_n"),
+        Seq("_band", "_bucket"))
+    }
+    attach(spark, store.dir)
+  }
+
   /** Continuous-crawl ingestion: a Structured Streaming loop that, per
     * micro-batch, keeps only docs that are new vs the store AND the
     * batch ([[newDocs]]), writes the survivors to `sinkDir` (parquet,

@@ -212,6 +212,45 @@ class DedupStoreSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("compact: collapses append debris, re-applies the bucket guard, preserves probe results") {
+    val dir = tmpDir("cpt")
+    val st = DedupStore.build(
+      (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "text", "doc_id", dir, DedupStore.Params(maxBucket = 8))
+    // append 1 includes a replayed duplicate of store doc 5 (at-least-
+    // once replay shape) -> duplicate fingerprint KEY in the table
+    DedupStore.append(st,
+      ((100L until 110L).map(i => (i, doc(i))) :+ (110L, doc(5L)))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    // append 2: 40 copies of one boilerplate text -> its band buckets
+    // grow to 40 members, past the build-time cap of 8 (append drift)
+    DedupStore.append(st,
+      (200L until 240L).map(i => (i, doc(999L))).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val inc = Seq((500L, doc(105L)), (501L, doc(777L))).toDF("doc_id", "text")
+    val newBefore = DedupStore.newDocs(st, inc, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val nearBefore = DedupStore.nearDups(st, inc, "text", "doc_id", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(st.buckets.filter(col("_id") >= 200L).count() ===
+      40L * st.params.bands) // drifted past the cap before compaction
+
+    val cp = DedupStore.compact(st)
+    def nFiles(w: String): Int =
+      new java.io.File(s"$dir/$w").listFiles.count(_.getName.startsWith("part-"))
+    Seq("fingerprints", "signatures", "buckets").foreach { w =>
+      assert(nFiles(w) <= cp.params.nBuckets, s"$w: ${nFiles(w)} files")
+    }
+    val fp = cp.fingerprints
+    assert(fp.count() === fp.select("fingerprint").distinct().count())
+    assert(cp.buckets.filter(col("_id") >= 200L).count() === 0L,
+      "compaction must re-apply the maxBucket guard to drifted buckets")
+    assert(DedupStore.newDocs(cp, inc, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet === newBefore)
+    assert(DedupStore.nearDups(cp, inc, "text", "doc_id", 0.9)
+      .as[(Long, Long, Double)].collect().toSet === nearBefore)
+  }
+
   test("exact-only store: no signature tables, nearDups refuses loudly, attach round-trips the flag") {
     val dir = tmpDir("exonly")
     val st = DedupStore.build(
