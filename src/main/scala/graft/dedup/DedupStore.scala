@@ -135,11 +135,27 @@ object DedupStore {
       dir: String,
       params: Params = Params()): Store = {
     val spark = df.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rebuild only what a previous build created: a non-empty directory
+    // without a store.json marker is FOREIGN data — refuse before any
+    // destructive step (the Materializer foreign-data lesson: check
+    // precedes marker creation, so a refused call leaves no trace and a
+    // retry refuses again). An interrupted build is recognizable by its
+    // status=building marker, written below before the table writes.
+    if (fs.exists(hp)) {
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/store.json")) ||
+          fs.listStatus(hp).isEmpty,
+        s"DedupStore.build: '$dir' exists, is non-empty, and has no " +
+          "store.json marker — refusing to overwrite foreign data")
+    }
     Seq("fingerprints", "signatures", "buckets").foreach { w =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, w)}")
     }
-    val hp = new org.apache.hadoop.fs.Path(dir)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    fs.delete(hp, true)
+    Files.createDirectories(Paths.get(dir))
+    graft.materialize.Materializer.writeManifest(
+      Paths.get(dir, "store.json"), Map("status" -> "building"))
 
     bucketedWrite(
       Dedup.exactGroups(df, textCol, idCol)
@@ -203,6 +219,21 @@ object DedupStore {
              |CLUSTERED BY ($keys) SORTED BY ($keys)
              |INTO ${params.nBuckets} BUCKETS
              |LOCATION '$dir/$which'""".stripMargin)
+      } else {
+        // table names derive from dir.hashCode — a collision (or a
+        // stale registration left by another store) would silently
+        // probe the WRONG store's files; trust the name only if its
+        // registered location is this store's directory
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.getPath.stripSuffix("/")
+        val expected = new org.apache.hadoop.fs.Path(s"$dir/$which")
+          .toUri.getPath.stripSuffix("/")
+        require(loc == expected,
+          s"DedupStore.attach: catalog table '$t' points at '$loc', not " +
+            s"this store's '$expected' (name collision or stale " +
+            "registration) — drop the table and re-attach")
       }
     }
     register("fingerprints", "fingerprint STRING, keep_id BIGINT",
@@ -372,8 +403,12 @@ object DedupStore {
       val survivors = newDocs(store, batch, textCol, idCol)
         .drop("fingerprint").localCheckpoint()
       try {
-        survivors.write.mode("append").parquet(sinkDir)
-        append(store, survivors, textCol, idCol)
+        // a tick with nothing admitted must not pay three bucketed
+        // appends (nBuckets empty files each) plus an empty sink file
+        if (!survivors.isEmpty) {
+          survivors.write.mode("append").parquet(sinkDir)
+          append(store, survivors, textCol, idCol)
+        }
       } finally {
         org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(survivors)
       }

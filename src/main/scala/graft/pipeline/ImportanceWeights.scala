@@ -162,11 +162,17 @@ object ImportanceWeights {
       .withColumn("score_micro", col("log_w_micro") + col("gumbel_micro"))
     if (fraction >= 1.0) withScore
     else {
-      val thr = withScore
+      val row = withScore
         .select(expr(
           s"approx_percentile(score_micro, ${1.0 - fraction}, $accuracy)"))
-        .head().getLong(0)
-      withScore.filter(col("score_micro") > thr)
+        .head()
+      // a null percentile means an empty corpus — fail with the cause,
+      // not the bare NPE getLong would throw (same contract as
+      // quantileThresholdFilter)
+      require(!row.isNullAt(0),
+        "resampleByQuantile: empty corpus (or all-null scores) — " +
+          "no quantile threshold exists")
+      withScore.filter(col("score_micro") > row.getLong(0))
     }
   }
 }

@@ -273,6 +273,63 @@ class DedupStoreSpec extends SparkTestBase {
     assert(DedupStore.attach(spark, dir).params.nearDup === false)
   }
 
+  test("build refuses to wipe a non-empty directory that is not a store; retry still refuses") {
+    val dir = tmpDir("foreign")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "precious.txt"),
+      "user data".getBytes)
+    val docs = Seq((1L, doc(1L))).toDF("doc_id", "text")
+    (1 to 2).foreach { _ => // the refusal must not leave a marker that lets a retry through
+      val e = intercept[IllegalArgumentException] {
+        DedupStore.build(docs, "text", "doc_id", dir)
+      }
+      assert(e.getMessage.contains("foreign"))
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "precious.txt")))
+    // a genuine previous store (even an interrupted build) rebuilds fine
+    val storeDir = tmpDir("rebuild")
+    DedupStore.build(docs, "text", "doc_id", storeDir)
+    DedupStore.build(docs, "text", "doc_id", storeDir)
+  }
+
+  test("attach refuses a catalog table name that points at a different location") {
+    val dir = tmpDir("coll")
+    val st = DedupStore.build(
+      Seq((1L, doc(1L))).toDF("doc_id", "text"), "text", "doc_id", dir)
+    val elsewhere = tmpDir("coll_other")
+    spark.sql(s"DROP TABLE ${st.fpTable}")
+    spark.sql(
+      s"""CREATE TABLE ${st.fpTable} (fingerprint STRING, keep_id BIGINT)
+         |USING PARQUET LOCATION '$elsewhere/fp'""".stripMargin)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupStore.attach(spark, dir)
+      }
+      assert(e.getMessage.contains("collision") ||
+        e.getMessage.contains("stale"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${st.fpTable}")
+      DedupStore.attach(spark, dir) // clean re-registration recovers
+    }
+  }
+
+  test("ingest: an empty micro-batch tick writes nothing to the sink or the store") {
+    val dir = tmpDir("empty")
+    val st = DedupStore.build(
+      Seq((0L, doc(0L))).toDF("doc_id", "text"), "text", "doc_id", dir)
+    val sink = tmpDir("empty_sink") + "/out"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = DedupStore.ingest(st, input.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", sink, tmpDir("empty_ckpt") + "/cp")
+    try {
+      input.addData(Seq((100L, doc(0L)))) // a pure-duplicate batch: zero survivors
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!new java.io.File(sink).exists(), "empty tick must not create the sink")
+    assert(st.fingerprints.count() === 1L, "empty tick must not append")
+  }
+
   test("fingerprint parity: store membership uses the engine-wide normalized fingerprint") {
     val st = DedupStore.build(
       Seq((1L, "The  Cat sat")).toDF("doc_id", "text"),

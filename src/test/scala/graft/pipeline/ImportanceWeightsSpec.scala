@@ -151,6 +151,14 @@ class ImportanceWeightsSpec extends SparkTestBase {
     assert(ids === all)
   }
 
+  test("resampleByQuantile on an empty corpus fails with the cause, not a bare NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "log_w_micro")
+    val e = intercept[IllegalArgumentException] {
+      ImportanceWeights.resampleByQuantile(empty, "doc_id", 0.5)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("pipeline dsir stage keeps the Gumbel-top-k of the cleaned survivors") {
     val aWords = Seq("alpha", "beta", "gamma", "delta")
     val bWords = Seq("zulu", "yankee", "xray", "whiskey")
