@@ -385,38 +385,53 @@ object DedupStore {
     * corpus bytes, exactly the streaming analog of the daily batch
     * probe).
     *
-    * Delivery contract: at-least-once on failure replay. A re-run
-    * batch re-probes the store — rows whose fingerprints were already
-    * appended are dropped, so the store stays consistent and the sink
-    * can only duplicate rows of the one interrupted batch (dedup by id
-    * downstream, or re-run [[exactGroups]]-style collapse on read).
-    * Survivors are snapshotted once per batch so the sink write and
-    * the store append read one consistent result. */
+    * Delivery contract: EXACTLY-once for the sink, idempotent for
+    * membership. Each batch lands in its own `batch=<id>` sink
+    * partition with overwrite semantics, so every replay path is safe:
+    * replay before the sink write rewrites the same partition; replay
+    * between sink write and append recomputes the same survivors (the
+    * store hasn't admitted them yet) and overwrites the partition with
+    * identical content; replay after the append finds ZERO survivors
+    * (they are store members now) and touches nothing — the partition
+    * from the first attempt stands. Survivors are snapshotted once per
+    * batch so the sink write and the store append read one consistent
+    * result; read the sink with `spark.read.parquet(sinkDir)` (the
+    * batch id surfaces as a partition column). */
   def ingest(
       store: Store,
       stream: DataFrame,
       textCol: String,
       idCol: String,
       sinkDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val perBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      val survivors = newDocs(store, batch, textCol, idCol)
-        .drop("fingerprint").localCheckpoint()
-      try {
-        // a tick with nothing admitted must not pay three bucketed
-        // appends (nBuckets empty files each) plus an empty sink file
-        if (!survivors.isEmpty) {
-          survivors.write.mode("append").parquet(sinkDir)
-          append(store, survivors, textCol, idCol)
-        }
-      } finally {
-        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(survivors)
-      }
-    }
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(perBatch)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        ingestBatch(store, batch, textCol, idCol, sinkDir, id))
       .start()
+
+  /** One ingest micro-batch (see [[ingest]] for the replay contract);
+    * package-visible so the replay paths are testable without forcing
+    * a mid-batch crash through the streaming engine. */
+  private[dedup] def ingestBatch(
+      store: Store,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      sinkDir: String,
+      batchId: Long): Unit = {
+    val survivors = newDocs(store, batch, textCol, idCol)
+      .drop("fingerprint").localCheckpoint()
+    try {
+      // a tick with nothing admitted must not pay three bucketed
+      // appends (nBuckets empty files each) plus an empty sink dir
+      if (!survivors.isEmpty) {
+        survivors.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+        append(store, survivors, textCol, idCol)
+      }
+    } finally {
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(survivors)
+    }
   }
 
   def append(

@@ -330,6 +330,26 @@ class DedupStoreSpec extends SparkTestBase {
     assert(st.fingerprints.count() === 1L, "empty tick must not append")
   }
 
+  test("ingest replay is exactly-once: re-running a committed batch changes nothing") {
+    val st = DedupStore.build(
+      Seq((0L, doc(0L))).toDF("doc_id", "text"), "text", "doc_id",
+      tmpDir("replay"))
+    val sink = tmpDir("replay_sink") + "/out"
+    val batch = Seq((100L, doc(100L)), (101L, doc(101L))).toDF("doc_id", "text")
+    DedupStore.ingestBatch(st, batch, "text", "doc_id", sink, batchId = 7L)
+    def sinkRows() = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = sinkRows()
+    assert(first === Seq(100L, 101L))
+    val fpCount = st.fingerprints.count()
+    // full replay of the same committed batch (crash after append,
+    // before the checkpoint commit): survivors recompute to zero, the
+    // batch=7 partition stands, membership unchanged
+    DedupStore.ingestBatch(st, batch, "text", "doc_id", sink, batchId = 7L)
+    assert(sinkRows() === first)
+    assert(st.fingerprints.count() === fpCount)
+  }
+
   test("fingerprint parity: store membership uses the engine-wide normalized fingerprint") {
     val st = DedupStore.build(
       Seq((1L, "The  Cat sat")).toDF("doc_id", "text"),
