@@ -153,7 +153,7 @@ object DedupStore {
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, w)}")
     }
     fs.delete(hp, true)
-    Files.createDirectories(Paths.get(dir))
+    fs.mkdirs(hp)
     graft.materialize.Materializer.writeManifest(
       Paths.get(dir, "store.json"), Map("status" -> "building"))
 
@@ -312,13 +312,6 @@ object DedupStore {
       .select(col("inc_id"), col("store_id"), col("sig_agreement"))
   }
 
-  /** Accept an increment into the store: append its fingerprints,
-    * signatures, and band rows in the tables' existing bucket layout
-    * (bucketed appends co-partition with the original files, so probe
-    * joins stay exchange-free). Callers append the SURVIVORS of their
-    * own gating ([[newDocs]] / [[nearDups]]); appended fingerprints that
-    * collide with existing ones are harmless for membership semantics
-    * (`keep_id` is advisory after appends). */
   /** Compact a store in place. Every [[append]] adds nBuckets files
     * per table and can (a) accumulate duplicate fingerprint keys
     * (membership-harmless but scan-wasteful), (b) re-add ids on
@@ -377,7 +370,8 @@ object DedupStore {
   /** Continuous-crawl ingestion: a Structured Streaming loop that, per
     * micro-batch, keeps only docs that are new vs the store AND the
     * batch ([[newDocs]]), writes the survivors to `sinkDir` (parquet,
-    * append), and [[append]]s them to the store — so a duplicate
+    * one `batch=<id>` partition per batch), and [[append]]s them to the
+    * store — so a duplicate
     * arriving in a LATER batch is dropped against the survivors of
     * earlier ones. The store IS the cross-batch state: watermark-free,
     * unbounded-horizon dedup (engine state stores bound their horizon
@@ -434,6 +428,13 @@ object DedupStore {
     }
   }
 
+  /** Accept an increment into the store: append its fingerprints,
+    * signatures, and band rows in the tables' existing bucket layout
+    * (bucketed appends co-partition with the original files, so probe
+    * joins stay exchange-free). Callers append the SURVIVORS of their
+    * own gating ([[newDocs]] / [[nearDups]]); appended fingerprints that
+    * collide with existing ones are harmless for membership semantics
+    * (`keep_id` is advisory after appends). */
   def append(
       store: Store,
       docs: DataFrame,
