@@ -2104,6 +2104,40 @@ object QueriesExtra {
       |   j -> 'v' || CAST(s * 100 + j AS VARCHAR)), ' ') AS text
       |FROM src""".stripMargin
 
+  /** The DSIR selection family's corpus-fraction path
+    * ([[graft.pipeline.ImportanceWeights.resampleByQuantile]]): keep
+    * docs whose Gumbel-perturbed score clears the corpus p80 of
+    * `score_micro`. At gate scale (n ≤ GK accuracy) the threshold is an
+    * exact order statistic (q60/q56 doctrine), and the scores are the
+    * same all-integer construction q63 gates — so DuckDB replays the
+    * whole selection: q61 weights + the quantized Gumbel draw +
+    * quantile_disc + the strict > filter. */
+  def q67ImportanceThreshold(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.spread(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val scored = graft.pipeline.ImportanceWeights.dsirWeights(
+      docs, docs.filter(col("lang") === "en"), "text")
+    graft.pipeline.ImportanceWeights.resampleByQuantile(
+        scored, "doc_id", fraction = 0.2)
+      .select(col("doc_id"), col("log_w_micro"), col("gumbel_micro"),
+        col("score_micro"))
+  }
+
+  val q67Sql: String =
+    s"""WITH g AS (
+      | SELECT doc_id, log_w_micro, gumbel_micro,
+      |  log_w_micro + gumbel_micro AS score_micro
+      | FROM (
+      |  SELECT doc_id, log_w_micro,
+      |   CAST(FLOOR(-LN(-LN((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |        || ':graft-dsir-gumbel'), 1, 15) AS BIGINT) + 0.5)
+      |        / 1152921504606846976)) * 1000000 + 0.5) AS BIGINT) AS gumbel_micro
+      |  FROM ( ${q61Sql.replace("\n", "\n  ")} ) w
+      | ) x)
+      |SELECT doc_id, log_w_micro, gumbel_micro, score_micro
+      |FROM g
+      |WHERE score_micro > (SELECT quantile_disc(score_micro, 0.8) FROM g)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_first_last" -> (q16FirstLast _),
     "q17_date_functions" -> (q17DateFunctions _),
@@ -2155,7 +2189,8 @@ object QueriesExtra {
     "q63_importance_resample" -> (q63ImportanceResample _),
     "q64_store_newdocs" -> (q64StoreNewDocs _),
     "q65_store_neardups" -> (q65StoreNearDups _),
-    "q66_store_ingest" -> (q66StoreIngest _))
+    "q66_store_ingest" -> (q66StoreIngest _),
+    "q67_importance_threshold" -> (q67ImportanceThreshold _))
 
   val oracles: Map[String, String] = Map(
     "q16_first_last" -> q16Sql,
@@ -2208,5 +2243,6 @@ object QueriesExtra {
     "q63_importance_resample" -> q63Sql,
     "q64_store_newdocs" -> q64Sql,
     "q65_store_neardups" -> q65Sql,
-    "q66_store_ingest" -> q66Sql)
+    "q66_store_ingest" -> q66Sql,
+    "q67_importance_threshold" -> q67Sql)
 }
