@@ -23,7 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// JVM temp on tmpfs when available: Structured Streaming's temporary
+// checkpoint dirs (memory-sink queries) and other java.io.tmpdir traffic
+// are VM-disk-bound on /tmp, which taxes every micro-batch commit. On a
+// real deployment this is the fast local scratch volume.
+val tmpfsTmp: Seq[String] = {
+  val shm = new java.io.File("/dev/shm/graft-jvm-tmp")
+  if (shm.isDirectory || shm.mkdirs()) Seq(s"-Djava.io.tmpdir=${shm.getAbsolutePath}")
+  else Seq.empty
+}
+javaOptions ++= jdk17AddOpens ++ tmpfsTmp ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

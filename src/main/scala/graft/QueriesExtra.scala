@@ -24,12 +24,25 @@ object QueriesExtra {
     * overwrite/delete of the same dir. PID-keyed paths are never reused
     * by later processes, so each is registered for recursive deletion at
     * JVM exit — repeated gate/bench invocations would otherwise fill
-    * /tmp with corpus-scale leftovers. */
+    * the scratch volume with corpus-scale leftovers.
+    *
+    * Scratch lives on tmpfs when available (same rationale as
+    * GraftSession putting spark.local.dir on /dev/shm — guide §6:
+    * local-mode /tmp is VM-disk-bound, and these intermediates are
+    * written AND re-read inside the timed query): on a real cluster the
+    * analog is the executors' NVMe-backed scratch volume, configured via
+    * SPARK_GRAFT_SCRATCH_DIR. */
   private val scratchRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private val scratchBase: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH_DIR").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm" else "/tmp"
+    }
+
   private def scratch(tag: String, dir: String): String = {
-    val p = s"/tmp/graft_${tag}_${dir.hashCode & 0x7fffffff}" +
+    val p = s"$scratchBase/graft_${tag}_${dir.hashCode & 0x7fffffff}" +
       s"_p${ProcessHandle.current().pid()}"
     if (scratchRegistered.add(p)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -1257,6 +1270,29 @@ object QueriesExtra {
       | 1.0 AS cosine, CAST(2 AS BIGINT) AS rank
       |FROM embeddings WHERE vec_id < 100""".stripMargin
 
+  /** Run a bounded streaming lifecycle with stream-sized state
+    * partitioning. `spark.sql.shuffle.partitions` governs the number of
+    * state-store instances (and per-micro-batch tasks) of every stateful
+    * streaming operator, fixed at query start; the batch session sizes
+    * it to the core count, which for these bounded gate streams
+    * (≤ a few hundred rows per batch) just multiplies per-batch
+    * task-launch + state-commit overhead — measured 35-40% of the
+    * streaming queries' wall clock at 32 partitions vs 8. State
+    * partitioning is a per-stream capacity decision (resizing means a
+    * new checkpoint), so it is parameterised (SPARK_GRAFT_STREAM_SHUFFLE,
+    * default 8) — a production ingest sized for real throughput sets it
+    * to hundreds/thousands; results are partition-count-invariant
+    * (dedup survivor choice is committed-state-based, session/window
+    * aggregates are deterministic functions of the data). The previous
+    * value is restored after the lifecycle so batch queries are
+    * untouched. */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    try body finally s.conf.set(key, prev)
+  }
+
   // ------------------------------------- streaming near-dup (driver gate)
   /** Structured Streaming in the driver gate (SURVEY §2.1 S7 —
     * previously spec-only): token-NAMESPACED synthetic docs (40 tokens
@@ -1288,19 +1324,21 @@ object QueriesExtra {
     val out = graft.streaming.StreamingFeatures.streamingNearDupDedup(
       input.toDF().toDF("doc_id", "text", "ts"), "text")
     val table = s"q49_stream_${ProcessHandle.current().pid()}"
-    val q = out.writeStream.format("memory").queryName(table)
-      .outputMode("append").start()
-    try {
-      input.addData(originals.toSeq) // batch 1: originals seed the state
-      // force the micro-batch boundary BEFORE the copies arrive: two
-      // back-to-back addData calls coalesce into one batch, and
-      // intra-batch dedup keeps whichever row a shuffle happens to
-      // deliver first — the determinism of this gate rests on the
-      // copies testing committed batch-1 STATE, not intra-batch order
-      q.processAllAvailable()
-      input.addData(copies.toSeq)    // batch 2: every copy collapses
-      q.processAllAvailable()
-    } finally q.stop()
+    withStreamShuffle(s) {
+      val q = out.writeStream.format("memory").queryName(table)
+        .outputMode("append").start()
+      try {
+        input.addData(originals.toSeq) // batch 1: originals seed the state
+        // force the micro-batch boundary BEFORE the copies arrive: two
+        // back-to-back addData calls coalesce into one batch, and
+        // intra-batch dedup keeps whichever row a shuffle happens to
+        // deliver first — the determinism of this gate rests on the
+        // copies testing committed batch-1 STATE, not intra-batch order
+        q.processAllAvailable()
+        input.addData(copies.toSeq)    // batch 2: every copy collapses
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(table).select(col("doc_id"), col("text"))
   }
 
@@ -1476,14 +1514,16 @@ object QueriesExtra {
     val out = graft.streaming.StreamingFeatures.sessionAggregates(
       input.toDF().toDF("conv_id", "ts", "text", "tool"), gapSeconds = 1800L)
     val table = s"q52_sessions_${ProcessHandle.current().pid()}"
-    val q = out.writeStream.format("memory").queryName(table)
-      .outputMode("complete").start()
-    try {
-      input.addData(b1.toSeq)
-      q.processAllAvailable()
-      input.addData(b2.toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    withStreamShuffle(s) {
+      val q = out.writeStream.format("memory").queryName(table)
+        .outputMode("complete").start()
+      try {
+        input.addData(b1.toSeq)
+        q.processAllAvailable()
+        input.addData(b2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(table).select(
       col("conv_id"), col("session_start"), col("turns"),
       col("tokens"), col("tool_turns"))
@@ -1629,9 +1669,11 @@ object QueriesExtra {
     val out = graft.streaming.StreamingFeatures.sessionAggregates(
       engine.readStream("event_stream"), gapSeconds = 1800L)
     val table = s"q54_fs_${ProcessHandle.current().pid()}"
-    val q = out.writeStream.format("memory").queryName(table)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamShuffle(s) {
+      val q = out.writeStream.format("memory").queryName(table)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(table).select(
       col("conv_id"), col("session_start"), col("turns"),
       col("tokens"), col("tool_turns"))
@@ -1891,8 +1933,11 @@ object QueriesExtra {
   def q61ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.spread(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("text"))
-    graft.pipeline.ImportanceWeights.dsirWeights(
-        docs, docs.filter(col("lang") === "en"), "text")
+    // fused-histogram path (one corpus pass for both distributions);
+    // counts — and therefore scores — are identical to
+    // dsirWeights(docs, docs.filter(lang = 'en'), _)
+    graft.pipeline.ImportanceWeights.dsirWeightsWithin(
+        docs, col("lang") === "en", "text")
       .select(col("doc_id"), col("n_grams"), col("log_w_micro"))
   }
 
@@ -1973,8 +2018,8 @@ object QueriesExtra {
   def q63ImportanceResample(s: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.spread(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("text"))
-    val scored = graft.pipeline.ImportanceWeights.dsirWeights(
-      docs, docs.filter(col("lang") === "en"), "text")
+    val scored = graft.pipeline.ImportanceWeights.dsirWeightsWithin(
+      docs, col("lang") === "en", "text")
     graft.pipeline.ImportanceWeights.resampleTopK(scored, "doc_id", k = 100)
       .select(col("doc_id"), col("log_w_micro"), col("gumbel_micro"),
         col("score_micro"))
@@ -2081,15 +2126,17 @@ object QueriesExtra {
     }
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)](s)
-    val q = graft.dedup.DedupStore.ingest(
-      store, input.toDF().toDF("doc_id", "text"), "text", "doc_id",
-      sink, ckpt)
-    try {
-      input.addData(batch1)
-      q.processAllAvailable() // commit batch 1 before its copies arrive
-      input.addData(batch2)
-      q.processAllAvailable()
-    } finally q.stop()
+    withStreamShuffle(s) {
+      val q = graft.dedup.DedupStore.ingest(
+        store, input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        sink, ckpt)
+      try {
+        input.addData(batch1)
+        q.processAllAvailable() // commit batch 1 before its copies arrive
+        input.addData(batch2)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.read.parquet(sink).select(col("doc_id"), col("text"))
   }
 
@@ -2115,8 +2162,8 @@ object QueriesExtra {
   def q67ImportanceThreshold(s: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.spread(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("text"))
-    val scored = graft.pipeline.ImportanceWeights.dsirWeights(
-      docs, docs.filter(col("lang") === "en"), "text")
+    val scored = graft.pipeline.ImportanceWeights.dsirWeightsWithin(
+      docs, col("lang") === "en", "text")
     graft.pipeline.ImportanceWeights.resampleByQuantile(
         scored, "doc_id", fraction = 0.2)
       .select(col("doc_id"), col("log_w_micro"), col("gumbel_micro"),

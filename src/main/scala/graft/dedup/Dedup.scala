@@ -193,10 +193,16 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
   }
 
-  /** Shingle sets keyed by id — the verification payload table. */
-  private def shingleSets(
-      df: DataFrame, textCol: String, idCol: String, w: Int): DataFrame =
-    spread(df).select(col(idCol).as("_id"), shingles(col(textCol), w).as("_sh"))
+  /** Text keyed by id — the verification payload table. Shingle sets
+    * are NOT materialized here: the caller joins this against the
+    * candidate-pair ids first and derives shingles only for the joined
+    * (candidate) rows — shingling the whole corpus a second time for a
+    * candidate subset that is ≪ corpus was the measured cost of the old
+    * pre-shingled form (guide §2.3: defer expensive derivations until
+    * after the filter that discards most rows). */
+  private def textById(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(df).select(col(idCol).as("_id"), col(textCol).as("_tx"))
 
   /** MinHash LSH candidate pairs: signatures cut into `bands` bands of
     * rows; docs sharing any band bucket become candidates; candidates
@@ -205,10 +211,11 @@ object Dedup {
     * Scale shape: the banding shuffle carries ONLY (id, band, bucket) —
     * never the shingle arrays (the old form replicated every doc's
     * shingle set once per band through the exchange: `bands`× corpus
-    * amplification at 100 TB). Verification joins the shingle sets back
-    * for the candidate subset only; candidates ≪ corpus, so AQE
-    * broadcasts them and the corpus-side shingle table is scanned, not
-    * shuffled.
+    * amplification at 100 TB). Verification joins the raw TEXT back for
+    * the candidate subset and derives shingle sets only for the joined
+    * rows; candidates ≪ corpus, so AQE broadcasts them, the corpus-side
+    * text table is scanned (not shuffled), and the second corpus-wide
+    * shingling pass of the old pre-shingled form disappears.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, distinct.
     */
@@ -231,10 +238,13 @@ object Dedup {
         col("_pair").getField("b").getField("_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val sh = shingleSets(df, textCol, idCol, shingleWidth)
+    val txt = textById(df, textCol, idCol)
     val candidates = cand
-      .join(sh.select(col("_id").as("id_a"), col("_sh").as("sh_a")), "id_a")
-      .join(sh.select(col("_id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+      .join(txt.select(col("_id").as("id_a"), col("_tx").as("_tx_a")), "id_a")
+      .join(txt.select(col("_id").as("id_b"), col("_tx").as("_tx_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        shingles(col("_tx_a"), shingleWidth).as("sh_a"),
+        shingles(col("_tx_b"), shingleWidth).as("sh_b"))
     verifyJaccard(candidates, threshold)
   }
 

@@ -169,7 +169,13 @@ object DedupStore {
       // by the (band, bucket) probe join — each bucketed on its own key
       bucketedWrite(sig, dir, "signatures", Seq("_id"), params.nBuckets,
         "overwrite")
-      val banded = Dedup.bandRows(sig, params.numHashes, params.bands)
+      // band from the JUST-WRITTEN signature files: referencing `sig`
+      // again would re-execute the whole corpus-wide explode+minhash
+      // aggregation a second time (measured: the build paid the corpus
+      // signature pass twice); the columnar re-read costs 8·numHashes
+      // bytes/doc instead
+      val sigOnDisk = spark.read.parquet(s"$dir/signatures")
+      val banded = Dedup.bandRows(sigOnDisk, params.numHashes, params.bands)
       val guarded = banded
         .withColumn("_n",
           count(lit(1)).over(Window.partitionBy(col("_band"), col("_bucket"))))
@@ -450,18 +456,35 @@ object DedupStore {
     // three digest writes read one consistent, increment-sized input.
     val snap = docs.select(col(idCol), col(textCol)).localCheckpoint()
     try {
+      // Near-dup digests FIRST, fingerprints LAST: exact-dedup
+      // membership is the gate every replay path probes (newDocs
+      // anti-joins fingerprints), so a crash BETWEEN the writes must
+      // leave the docs looking un-admitted — the replayed batch then
+      // recomputes the same survivors and re-derives signatures/buckets
+      // (duplicate sig/band rows are compact-collapsible). The previous
+      // fingerprints-first order left a crash window where docs were
+      // exact-members with NO near-dup index rows, permanently admitting
+      // their future near-duplicates (r5 ADVICE #1).
+      if (p.nearDup) {
+        val sig = Dedup.minhashSignatures(
+          snap, textCol, idCol, p.numHashes, p.shingleWidth)
+          // two consumers (signature write + banding write): materialize
+          // the increment-sized table once instead of running the
+          // explode+minhash aggregation twice
+          .localCheckpoint()
+        try {
+          bucketedWrite(sig, store.dir, "signatures", Seq("_id"), p.nBuckets,
+            "append")
+          bucketedWrite(Dedup.bandRows(sig, p.numHashes, p.bands),
+            store.dir, "buckets", Seq("_band", "_bucket"), p.nBuckets, "append")
+        } finally {
+          org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(sig)
+        }
+      }
       bucketedWrite(
         Dedup.exactGroups(snap, textCol, idCol)
           .select(col("fingerprint"), col("keep_id")),
         store.dir, "fingerprints", Seq("fingerprint"), p.nBuckets, "append")
-      if (p.nearDup) {
-        val sig = Dedup.minhashSignatures(
-          snap, textCol, idCol, p.numHashes, p.shingleWidth)
-        bucketedWrite(sig, store.dir, "signatures", Seq("_id"), p.nBuckets,
-          "append")
-        bucketedWrite(Dedup.bandRows(sig, p.numHashes, p.bands),
-          store.dir, "buckets", Seq("_band", "_bucket"), p.nBuckets, "append")
-      }
       // the insert commands invalidate the relation cache of the
       // session that WROTE (docs.sparkSession) — which under
       // foreachBatch is Structured Streaming's session CLONE, not the

@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
   * per-group value-count map; count-distinct holds the value set).
   * These opt-in variants bound state per group at a few KB:
   *
-  *  - `approx_count_distinct` — HyperLogLog++, 2^p registers per group
-  *    where p ≈ 2·log2(1.106/rsd); memory is CONSTANT in the value
-  *    count. Spark's implementation is dense-only (no exact sparse
-  *    mode), so even tiny cardinalities are estimates — the estimate is
-  *    deterministic (fixed xxhash64, no seed), and for n ≪ 2^p register
-  *    collisions are rare enough that linear counting returns the exact
-  *    n with high probability (the q56 gate leans on exactly this, at a
-  *    planted cardinality where determinism makes it conclusive;
-  *    ApproxAggregatesSpec carries the error-bound evidence at scale).
+  *  - `hll_sketch_agg` (DataSketches HLL) — 2^lgK registers per group
+  *    sized from `rsd`; memory is CONSTANT in the value count and the
+  *    buffer is ONE binary object (Spark's `approx_count_distinct`
+  *    HLL++ materializes each register word as its own agg-buffer
+  *    attribute — thousands of plan columns at tight rsd, measured as
+  *    ~1 s of planning/codegen per execution in the r6 optimization
+  *    pass). Below dense-mode promotion the sketch stores exact coupons
+  *    so tiny cardinalities are EXACT counts (the q56 gate leans on
+  *    exactly this, at a planted cardinality where the deterministic
+  *    seedless hash makes it conclusive; ApproxAggregatesSpec carries
+  *    the error-bound evidence at scale).
   *  - `percentile_approx` — Greenwald-Khanna summaries with relative
   *    rank error 1/accuracy; for groups SMALLER than the compression
   *    threshold every sample is retained and the answer is an exact
@@ -90,8 +92,23 @@ object ApproxAggregates {
       approx: Boolean,
       rsd: Double = 0.005,
       percentileAccuracy: Int = 100000): DataFrame = {
+    // Approx distinct = a DataSketches HLL sketch (hll_sketch_agg) sized
+    // so its relative standard error 1.04/sqrt(2^lgK) meets `rsd` — the
+    // same register count Spark's HLL++ would pick. NOT
+    // approx_count_distinct: Spark's HLL++ lays its registers out as
+    // individual agg-buffer attributes, so rsd=0.005 inflates every
+    // aggregate buffer and plan to 6,554 long columns — measured ~1 s of
+    // planning/codegen per q56 execution and a 52 KB/group/task buffer
+    // at scale; the sketch buffer is one binary object updated in place.
+    // Exactness at planted-small cardinality is RETAINED (the q56 gate's
+    // doctrine): below promotion to dense HLL mode the sketch stores raw
+    // coupons and the estimate is the exact count; the sketch hash is
+    // seedless-deterministic like HLL++. At-scale error stays spec'd by
+    // ApproxAggregatesSpec (within 4·rsd at 10k true cardinality).
+    val lgK = math.min(21, math.max(4,
+      math.ceil(2.0 * math.log(1.04 / rsd) / math.log(2.0)).toInt))
     val users: Column =
-      if (approx) approx_count_distinct(col("user_id"), rsd)
+      if (approx) hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
       else countDistinct(col("user_id"))
     val percs: Column =
       if (approx)

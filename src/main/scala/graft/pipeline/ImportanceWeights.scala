@@ -91,7 +91,9 @@ object ImportanceWeights {
 
   /** End-to-end: build both distributions, then score the corpus.
     * `target` is the in-domain exemplar set (often a filtered slice of
-    * the corpus or a separate curated table). */
+    * the corpus or a separate curated table). When the target IS a
+    * predicate over the corpus, use [[dsirWeightsWithin]] — it builds
+    * both histograms in one corpus pass instead of two. */
   def dsirWeights(
       corpus: DataFrame,
       target: DataFrame,
@@ -100,6 +102,37 @@ object ImportanceWeights {
       salt: String = DefaultSalt): DataFrame = {
     val t = bucketCounts(target, textCol, nBuckets, salt)
     val s = bucketCounts(corpus, textCol, nBuckets, salt)
+    score(corpus, textCol, logRatiosMicro(t, s), nBuckets, salt)
+  }
+
+  /** [[dsirWeights]] for the common case where the target domain is a
+    * FILTERED SLICE of the corpus itself (e.g. `lang = 'en'`): one
+    * corpus scan computes the source histogram and, via a conditional
+    * count on the same exploded rows, the target histogram — halving
+    * the distribution passes (guide §1.2: don't scan twice for what one
+    * aggregation can produce). Counts are identical to
+    * `dsirWeights(corpus, corpus.filter(targetPred), ...)` by
+    * construction, so the scores are bit-equal. */
+  def dsirWeightsWithin(
+      corpus: DataFrame,
+      targetPred: Column,
+      textCol: String,
+      nBuckets: Int = DefaultBuckets,
+      salt: String = DefaultSalt): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20]: $nBuckets")
+    val rows = corpus
+      .select(explode(HashedNgramBuckets(col(textCol), nBuckets, salt))
+        .as("bucket"), targetPred.as("_t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), count_if(col("_t")).as("tcnt"))
+      .collect()
+    val s = new Array[Long](nBuckets)
+    val t = new Array[Long](nBuckets)
+    rows.foreach { r =>
+      s(r.getInt(0)) = r.getLong(1)
+      t(r.getInt(0)) = r.getLong(2)
+    }
     score(corpus, textCol, logRatiosMicro(t, s), nBuckets, salt)
   }
 

@@ -69,11 +69,17 @@ object Similarity {
     * ever materializes a cluster's member vectors (a centroid with
     * millions of members costs the same as one with ten).
     *
+    * The ≤ n-row centroid table is carried DRIVER-side between passes
+    * (it is bounded by construction — the same doctrine as collecting
+    * it for the native assignment expression): each Lloyd pass is then
+    * exactly ONE distributed job (assign + per-dimension mean,
+    * collected), where the previous localCheckpoint form paid a
+    * checkpoint job plus a collect job per pass and leaked cached
+    * blocks into long-lived sessions. The returned DataFrame is a
+    * LocalRelation, so downstream collects are driver-local no-ops.
+    *
     * @param dim   retained for API stability / input validation only
-    * @param iters Lloyd refinement passes (each = one distributed
-    *              assign + mean job; the n-row centroid table is
-    *              localCheckpoint'ed between passes so plan lineage
-    *              stays flat)
+    * @param iters Lloyd refinement passes (one distributed job each)
     */
   def centroids(
       corpus: DataFrame,
@@ -83,6 +89,7 @@ object Similarity {
       dim: Int,
       iters: Int = 2): DataFrame = {
     require(n > 0 && dim > 0, "nCentroids and dim must be positive")
+    val spark = corpus.sparkSession
     val seeds = corpus
       .withColumn("_r", pmod(xxhash64(col(idCol)), lit(1000000)))
       .orderBy(col("_r"), col(idCol))
@@ -94,10 +101,14 @@ object Similarity {
       .select(
         col("_cid").cast("long").as("centroid_id"),
         col("_s").getField("_ctr").as("_ctr"))
+    var local = collectCentroids(seeds)
     // Lloyd iterations: assign to nearest centroid, element-wise mean
-    // per cluster via per-(centroid, pos) AVG
-    (0 until iters).foldLeft(seeds) { (ctrs, _) =>
-      assign(corpus, ctrs, idCol, vecCol)
+    // per cluster via per-(centroid, pos) AVG — one job per pass
+    (0 until iters).foreach { _ =>
+      val (ids, vecs) = local
+      val refined = graft.dedup.Dedup.spread(corpus)
+        .withColumn("centroid_id", element_at(
+          graft.functions.NearestCentroids(col(vecCol), ids, vecs, k = 1), 1))
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
         .groupBy(col("centroid_id"), col("_pos"))
         .agg(avg(col("_x").cast("double")).as("_m"))
@@ -105,8 +116,19 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("_pos"), col("_m")))),
           s => s.getField("_m").cast("float")).as("_ctr"))
-        .localCheckpoint(eager = true)
+      local = collectCentroids(refined)
     }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_ctr",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val rows = local._1.zip(local._2)
+      .map { case (id, vec) => org.apache.spark.sql.Row(id, vec) }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** Collect the (bounded-by-construction) centroid table to the

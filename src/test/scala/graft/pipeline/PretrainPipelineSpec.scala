@@ -180,7 +180,11 @@ class PretrainPipelineSpec extends SparkTestBase {
     // like md5 can be hidden by plan-string field truncation)
     assert(!stagedPlan.contains("Window"),
       s"staged plan recomputes the dedup window:\n$stagedPlan")
-    assert(stagedPlan.contains("exact_dedup"),
+    // assert on inputFiles, not the plan STRING: the scan's Location
+    // print truncates long paths (e.g. a /dev/shm/graft-jvm-tmp/ temp
+    // prefix cuts ".../exact_dedup" to ".../exact_d...") — the
+    // CLAUDE.md plan-string-truncation gotcha
+    assert(staged.inputFiles.exists(_.contains("exact_dedup")),
       "staged plan does not scan the staged parquet")
 
     val unstaged = PretrainPipeline.clean(docs, "text", "doc_id")
