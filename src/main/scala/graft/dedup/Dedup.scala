@@ -569,8 +569,16 @@ object Dedup {
       .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("_f"))))
       .filter(col("_bs") <= maxBucket)
       .drop("_bs")
-    val sizes = surviving.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    val pairs = bucketPairs(surviving.join(sizes, "_id"), Seq("_f"),
+    // per-doc surviving-fingerprint count as a SECOND window over the
+    // same linear pipeline, not a separate groupBy branch: the old
+    // `surviving.join(surviving.groupBy(_id).count, "_id")` referenced
+    // the explode+window subtree twice, and Spark executed the whole
+    // fingerprint pass twice (no cross-branch reuse of the un-cached
+    // subtree — confirmed by the doubled Union/Scan nodes in the r6
+    // before-plan). One pipeline, one fingerprint pass.
+    val withSize = surviving
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_id"))))
+    val pairs = bucketPairs(withSize, Seq("_f"),
       struct(col("_id"), col("_n")), maxBucket)
       .select(
         col("_pair").getField("a").getField("_id").as("id_a"),
