@@ -47,7 +47,7 @@ object ScalingBench {
     // rounds (the standard noise-robust estimator); JIT/codegen and the
     // OS page cache persist across the per-round sessions, so only the
     // very first round pays warmup and the min discards it.
-    val rounds = 3
+    val rounds = sys.env.get("SPARK_GRAFT_SCALING_ROUNDS").map(_.toInt).getOrElse(3)
     val matSamples = scala.collection.mutable.Map.empty[Int, List[Double]]
       .withDefaultValue(Nil)
     val asofSamples = scala.collection.mutable.Map.empty[Int, List[Double]]
@@ -141,7 +141,28 @@ object ScalingBench {
     val results = cpuLevels.map { cpus =>
       val matList = matSamples(cpus).reverse
       val calList = calSamples(cpus).reverse
-      val minIdx = matList.zipWithIndex.minBy(_._1)._2
+      val usedList = coresUsed(cpus).reverse
+      // Leak-free SAMPLING criterion (r5 VERDICT next-round #1): on a
+      // QUIET host a local[N] JVM burns MORE than N cores (GC/netty/IO
+      // threads spill onto idle cores), which inflates the low-N level's
+      // throughput and sinks raw N→4N efficiency below what a
+      // hard-capped cluster executor would show. Prefer the fastest
+      // sample whose measured cores_used stays within 2.5% of the
+      // level's budget — but only among samples within 5% of the global
+      // min: a leak-free sample from a STARVED window (leak-free
+      // precisely because the host had no spare cycles to borrow) must
+      // not displace a comparable fast sample, or the "guard" just
+      // reports the worst window (observed live: a 4× outlier).
+      // `leak_free_sample` records whether the REPORTED sample met the
+      // cap, so the artifact always says which case it is.
+      val leakCap = cpus * 1.025
+      val globalMin = matList.min
+      val qualified = matList.indices.filter(i =>
+        usedList(i) <= leakCap && matList(i) <= globalMin * 1.05)
+      val minIdx =
+        if (qualified.nonEmpty) qualified.minBy(matList)
+        else matList.indices.minBy(matList)
+      val leakFree = usedList(minIdx) <= leakCap
       val matSec = matList(minIdx)
       // the calibration pair measured immediately before the reported
       // (min) sample — the delivered-cycles context of THAT window
@@ -150,7 +171,7 @@ object ScalingBench {
       // idle host gives calMt ≈ cal1 → `cpus`; a host delivering only c
       // of them stretches the mt burn to ~cpus/c × cal1
       val delivered = math.max(1.0, math.min(cpus.toDouble, cpus * cal1 / calMt))
-      val used = coresUsed(cpus).reverse(minIdx)
+      val used = usedList(minIdx)
       val asofSec = asofSamples(cpus).min
       val tps = nTurns / matSec
       println(
@@ -160,7 +181,9 @@ object ScalingBench {
         s""""cal_ms":${f"$cal1%.1f"},"cal_mt_ms":${f"$calMt%.1f"},""" +
         s""""delivered_cores":${f"$delivered%.2f"},""" +
         s""""cores_used":${f"$used%.2f"},""" +
+        s""""leak_free_sample":$leakFree,""" +
         s""""mat_samples":[${matList.map(x => f"$x%.2f").mkString(",")}],""" +
+        s""""cores_used_samples":[${usedList.map(x => f"$x%.2f").mkString(",")}],""" +
         s""""cal_mt_samples":[${calList.map(c => f"${c._2}%.0f").mkString(",")}]}""")
       (cpus, tps, asofSec, used)
     }
