@@ -146,33 +146,27 @@ object Dedup {
     }: _*)
   }
 
-  /** MinHash signatures via explode + hash-aggregate: ONE pass over the
-    * exploded shingles computes `numHashes` codegen'd MIN aggregates,
-    * each input a K-M combination of two shared xxhash64 columns; the
-    * map-side partials collapse each doc before the shuffle, and only
-    * 2×numHashes longs per doc travel through it (shingle sets do NOT —
-    * verification re-derives them for the candidate subset only).
-    * Returns (idCol → _id, _sig). */
+  /** MinHash signatures via the native one-pass
+    * [[graft.functions.MinHashSignature]] scalar: scan-local, no row
+    * amplification, no aggregation, NO SHUFFLE — each document's
+    * `numHashes` minima come out of one byte pass over its text.
+    * Value-equal to the previous explode + 32-min-aggregate pipeline
+    * (property-tested in MinHashSignatureSpec); the explode form
+    * multiplied every doc into one row per shingle through a hash
+    * aggregate and an exchange, which measured as the dominant cost of
+    * every LSH query. Null-text docs are dropped, matching the old
+    * form's explode-of-null semantics. Returns (idCol → _id, _sig). */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int,
-      shingleWidth: Int): DataFrame = {
-    val exploded = spread(df).select(
+      shingleWidth: Int): DataFrame =
+    spread(df).select(
       col(idCol).as("_id"),
-      explode(shingles(col(textCol), shingleWidth)).as("_s"))
-      .select(col("_id"),
-        xxhash64(col("_s")).as("_h1"),
-        xxhash64(col("_s"), lit(KmSeed)).as("_h2"))
-    val minAggs = (0 until numHashes).map { i =>
-      min(mix64(col("_h1") + lit(i.toLong) * col("_h2"))).as(s"_h$i")
-    }
-    exploded.groupBy(col("_id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("_id"),
-        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
-  }
+      graft.functions.MinHashSignature(
+        col(textCol), numHashes, shingleWidth, KmSeed).as("_sig"))
+      .filter(col("_sig").isNotNull)
 
   /** LSH band rows (_id, _band, _bucket) from a signature table
     * ((_id, _sig) as produced by [[minhashSignatures]]): each bucket is
