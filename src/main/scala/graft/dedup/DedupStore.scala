@@ -427,7 +427,10 @@ object DedupStore {
       // appends (nBuckets empty files each) plus an empty sink dir
       if (!survivors.isEmpty) {
         survivors.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
-        append(store, survivors, textCol, idCol)
+        // survivors is already an eager snapshot (checkpointed above):
+        // appendSnapshot skips append()'s second materialization of the
+        // increment
+        appendSnapshot(store, survivors, textCol, idCol)
       }
     } finally {
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(survivors)
@@ -446,7 +449,6 @@ object DedupStore {
       docs: DataFrame,
       textCol: String,
       idCol: String): Unit = {
-    val p = store.params
     // `docs` is usually DERIVED from a store probe (the survivors of
     // newDocs/nearDups) — a lazy plan that re-reads the store tables.
     // Each bucketed write below would re-execute it, and after the
@@ -455,7 +457,21 @@ object DedupStore {
     // fingerprints and vanish). Snapshot the increment eagerly so all
     // three digest writes read one consistent, increment-sized input.
     val snap = docs.select(col(idCol), col(textCol)).localCheckpoint()
-    try {
+    try appendSnapshot(store, snap, textCol, idCol)
+    finally org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
+  }
+
+  /** [[append]] for an increment the caller has ALREADY materialized
+    * (e.g. [[ingestBatch]]'s checkpointed survivors): skips the second
+    * snapshot. `snap` must be immutable across the three digest writes —
+    * a localCheckpoint or a read of committed files. */
+  private[dedup] def appendSnapshot(
+      store: Store,
+      snap: DataFrame,
+      textCol: String,
+      idCol: String): Unit = {
+    val p = store.params
+    locally {
       // Near-dup digests FIRST, fingerprints LAST: exact-dedup
       // membership is the gate every replay path probes (newDocs
       // anti-joins fingerprints), so a crash BETWEEN the writes must
@@ -495,8 +511,6 @@ object DedupStore {
       (Seq("fingerprints") ++
         (if (p.nearDup) Seq("signatures", "buckets") else Nil))
         .foreach(w => store.spark.catalog.refreshTable(tableName(store.dir, w)))
-    } finally {
-      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(snap)
     }
   }
 }
