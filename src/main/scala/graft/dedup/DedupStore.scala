@@ -150,7 +150,26 @@ object DedupStore {
           "store.json marker — refusing to overwrite foreign data")
     }
     Seq("fingerprints", "signatures", "buckets").foreach { w =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, w)}")
+      val t = tableName(dir, w)
+      // table names derive from dir.hashCode — before dropping, verify a
+      // pre-registered name actually points under THIS directory. On a
+      // hashCode collision between two live stores in one session the
+      // unguarded DROP would hijack the other store's registration and
+      // its handle would silently probe the wrong files (r5 ADVICE #4;
+      // attach() has carried the same check since r5).
+      if (spark.catalog.tableExists(t)) {
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.getPath.stripSuffix("/")
+        val expected = new org.apache.hadoop.fs.Path(s"$dir/$w")
+          .toUri.getPath.stripSuffix("/")
+        require(loc == expected,
+          s"DedupStore.build: catalog table '$t' points at '$loc', not " +
+            s"this store's '$expected' (table-name collision with another " +
+            "live store) — refusing to drop it; use a different directory")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $t")
     }
     fs.delete(hp, true)
     fs.mkdirs(hp)

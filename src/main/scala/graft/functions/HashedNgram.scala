@@ -137,8 +137,16 @@ object HashedNgramBuckets {
   * evaluation order).
   */
 case class HashedNgramRatioScore(
-    child: Expression, nBuckets: Int, salt: String, lrq: Array[Long])
+    child: Expression, nBuckets: Int, salt: String, lrq: IndexedSeq[Long])
     extends UnaryExpression {
+
+  // `lrq` is an immutable IndexedSeq, NOT Array: arrays compare by
+  // reference, so two structurally identical score expressions were
+  // never semanticEquals/canonicalized-equal (missed subexpression
+  // elimination and exchange/cache reuse), and a caller-held array
+  // could be mutated after construction (r5 ADVICE #3). The eval path
+  // still runs on a primitive long[] snapshot.
+  @transient private lazy val lrqArr: Array[Long] = lrq.toArray
 
   override def dataType: DataType = LongType
 
@@ -155,11 +163,11 @@ case class HashedNgramRatioScore(
   }
 
   override def nullSafeEval(input: Any): Any =
-    HashedNgram.score(input.asInstanceOf[UTF8String], nBuckets, salt, lrq)
+    HashedNgram.score(input.asInstanceOf[UTF8String], nBuckets, salt, lrqArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
-    val lrqRef = ctx.addReferenceObj("lrq", lrq, "long[]")
+    val lrqRef = ctx.addReferenceObj("lrq", lrqArr, "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.HashedNgram.score($c, $nBuckets, $saltRef, $lrqRef)")
   }
@@ -172,5 +180,7 @@ object HashedNgramRatioScore {
   def apply(c: Column, nBuckets: Int, salt: String, lrq: Array[Long]): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       HashedNgramRatioScore(
-        org.apache.spark.sql.GraftColumnBridge.expression(c), nBuckets, salt, lrq))
+        org.apache.spark.sql.GraftColumnBridge.expression(c), nBuckets, salt,
+        // snapshot: the expression must not see caller-side mutation
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(lrq.clone())))
 }

@@ -41,9 +41,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *     hashpartitioning, not SinglePartition).
   *
   * Cost: two scans of the input (the totals pass and the window pass —
-  * both scan-local up to their exchanges; persist the input upstream if
-  * scans are expensive) and one hash shuffle on the shard id. All
-  * arithmetic is integer (exact, order-independent).
+  * both scan-local up to their exchanges) and one hash shuffle on the
+  * shard id. All arithmetic is integer (exact, order-independent).
+  *
+  * CORRECTNESS REQUIREMENT — deterministic input: the two passes must
+  * observe the same rows, so `df` must be stable across re-execution
+  * (committed files, a localCheckpoint, or a deterministic plan). A
+  * nondeterministic upstream (a fractional sample, a limit, a
+  * shuffle-order-dependent dedup survivor choice) can yield different
+  * rows per scan, corrupting the shard offsets and the global prefix
+  * sum with no failure signal — eagerly checkpoint such inputs first
+  * (the same snapshot rationale as DedupStore.append). Persisting the
+  * input upstream also removes the double-scan cost when scans are
+  * expensive.
   *
   * Output columns: `seq` (1-based global position), `cum_tokens`
   * (inclusive running total), `bin_first`/`bin_last` (0-based window
