@@ -125,9 +125,11 @@ object DedupStore {
     * ones — near-dup probes must see all accepted content; run
     * [[Dedup.exact]] on the corpus first if it still carries exact
     * duplicates. One pass for fingerprints (hash-shuffle on the 128-bit
-    * key), one explode+hash-agg pass for signatures, one banding pass;
-    * each lands pre-partitioned in its probe-join layout, so the build
-    * pays every probe's shuffle once. */
+    * key), one scan-local signature pass (the native one-pass
+    * [[graft.functions.MinHashSignature]] scalar), and one banding pass
+    * over the signature files just written (never a second execution of
+    * the signature plan); each table lands pre-partitioned in its
+    * probe-join layout, so the build pays every probe's shuffle once. */
   def build(
       df: DataFrame,
       textCol: String,
