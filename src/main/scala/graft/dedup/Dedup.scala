@@ -233,13 +233,19 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     val txt = textById(df, textCol, idCol)
-    val candidates = cand
+    // verification = the fused NgramJaccardSim scalar on candidate rows
+    // (value-equal to intersect/union over the WordShingles arrays —
+    // NgramJaccardSimSpec): one set build + one membership sweep per
+    // evaluation, no shingle-array materialization. The all-pairs oracle
+    // path (ngramJaccardExact) keeps pre-shingled arrays instead: there
+    // every doc's set is reused across many pairs.
+    cand
       .join(txt.select(col("_id").as("id_a"), col("_tx").as("_tx_a")), "id_a")
       .join(txt.select(col("_id").as("id_b"), col("_tx").as("_tx_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        shingles(col("_tx_a"), shingleWidth).as("sh_a"),
-        shingles(col("_tx_b"), shingleWidth).as("sh_b"))
-    verifyJaccard(candidates, threshold)
+        graft.functions.NgramJaccardSim(
+          col("_tx_a"), col("_tx_b"), shingleWidth).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** All intra-bucket pairs WITHOUT a self-join: groupBy bucket,
